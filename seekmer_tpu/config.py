@@ -1,0 +1,127 @@
+"""Frozen configuration dataclasses for the seekmer-tpu pipeline.
+
+These configs are the *spec*: the numpy float64 oracle (tests/oracle) and the
+TPU device path share every constant defined here, so numerical parity between
+the two is well-defined even while the upstream reference source is
+unavailable (see SURVEY.md section 0 — /root/reference was empty at survey
+time; reference parity will be re-validated if the mount is populated).
+
+Reference parity notes (expected upstream layout, SURVEY.md section 2):
+  - k = 25 is the reference k-mer length [BASELINE.json:7].
+  - EM tolerance / iteration cap correspond to seekmer ``infer.py``'s
+    convergence rule; exact upstream constants are open parameters until the
+    reference is readable (SURVEY.md section 3.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for k-mer index construction (reference: seekmer index.py)."""
+
+    k: int = 25
+    # Open-addressing main table load factor (power-of-two slot count chosen so
+    # that n_keys / n_slots <= load_factor).
+    load_factor: float = 0.5
+    # Max linear-probe distance served by the main table; keys whose offline
+    # placement exceeds this are relocated to the stash table.
+    main_probe: int = 16
+    # Max probe distance in the stash table (built at low load so this holds).
+    stash_probe: int = 16
+    # Stash table sized as max(stash_min_slots, n_stash/stash_load) slots.
+    stash_load: float = 0.25
+    stash_min_slots: int = 1024
+
+    def __post_init__(self):
+        if not (1 <= self.k <= 29):
+            # hi lane packs ceil(k/2) bases (<=30 bits), lo lane the rest.
+            raise ValueError(f"k must be in [1, 29], got {self.k}")
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Configuration for pseudoalignment (reference: seekmer mapper.py).
+
+    The reference's Cython inner loop probes k-mers with a skipping heuristic;
+    the TPU design probes every valid position in parallel (SURVEY.md 7.4) —
+    semantics below define the TPU/oracle-shared behavior.
+    """
+
+    # Reads per device batch (per length bucket).
+    batch_size: int = 65536
+    # Read lengths are bucket-padded to multiples of this to bound recompiles.
+    length_bucket: int = 32
+    max_read_len: int = 512
+    # Cap on distinct index-EC ids contributing to a read's signature; reads
+    # exceeding it are treated as unmapped ("complex").
+    max_ecs_per_read: int = 16
+    # Device-resident signature->count open-addressing table: 2**sig_table_bits
+    # slots. Signatures are keyed by a 64-bit fingerprint (collision odds
+    # ~U^2/2^64 for U distinct signatures; documented approximation).
+    sig_table_bits: int = 20
+    # Probe rounds when claiming a signature slot.
+    sig_probe: int = 32
+    # Paired-end: a mate with zero k-mer hits contributes nothing (wildcard);
+    # both mates empty => unmapped. Matches intersect-mates semantics
+    # (reference mapper.py paired-end handling [BASELINE.json:8]).
+    paired_end: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class EMConfig:
+    """Configuration for EM abundance inference (reference: seekmer infer.py)."""
+
+    # Fragment-length model: eff_len_t = max(len_t - mean_fragment_length + 1, 1).
+    mean_fragment_length: float = 200.0
+    # Convergence: stop when max_t |alpha'_t - alpha_t| / (alpha'_t + abs_floor)
+    # < rel_tol over transcripts with alpha'_t > count_floor, after min_iters.
+    rel_tol: float = 1e-4
+    abs_floor: float = 1e-10
+    count_floor: float = 1e-8
+    min_iters: int = 10
+    max_iters: int = 1000
+    # float64 EM for bit-parity with the oracle (x64 is cheap: EM cost is tiny
+    # relative to mapping); float32 available for speed benchmarking.
+    use_x64: bool = False
+    # Bootstrap replicates (reference infer.py bootstrap loop; config 5 runs
+    # 100 [BASELINE.json:11]).
+    bootstrap_samples: int = 0
+    bootstrap_seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardConfig:
+    """Mesh / parallelism configuration (TPU-only; no reference counterpart —
+    the reference's only parallelism is a single-host worker pool,
+    SURVEY.md section 2.2)."""
+
+    # Mesh axis sizes; data axis shards read batches (P1), index axis shards
+    # the k-mer table by hash prefix (P2/P5).
+    data_axis: int = 1
+    index_axis: int = 1
+    data_axis_name: str = "reads"
+    index_axis_name: str = "index"
+    # "replicated" (config 2/3) or "prefix" (config 4) index placement.
+    index_mode: str = "replicated"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    index: IndexConfig = IndexConfig()
+    map: MapConfig = MapConfig()
+    em: EMConfig = EMConfig()
+    shard: ShardConfig = ShardConfig()
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def length_buckets(cfg: MapConfig) -> Tuple[int, ...]:
+    """Static read-length buckets (multiples of cfg.length_bucket)."""
+    return tuple(
+        range(cfg.length_bucket, cfg.max_read_len + 1, cfg.length_bucket)
+    )

@@ -1,0 +1,105 @@
+"""2-bit DNA encoding and canonical k-mer packing (host side, numpy).
+
+Reference parity: seekmer ``common.py`` holds the 2-bit encode/decode and the
+k=25 canonical-k-mer logic (SURVEY.md section 2.1 C2, expected path — the
+reference mount was empty at survey time, SURVEY.md section 0).
+
+Key representation (TPU-first design decision):
+  TPU has no fast native 64-bit integers, so a canonical k-mer (2k bits, k<=29)
+  is carried as TWO int32 lanes:
+
+      hi = bases[0 : n_hi]   packed big-endian, 2 bits/base (n_hi = k // 2)
+      lo = bases[n_hi : k]   packed big-endian, 2 bits/base (n_lo = k - n_hi)
+
+  Host-side convenience uses the combined ``key64 = hi << (2*n_lo) | lo``
+  (numpy uint64). Lexicographic order of (hi, lo) equals numeric order of
+  key64, which is what canonicalization (min of forward/revcomp) relies on.
+
+Base codes: A=0, C=1, G=2, T=3, anything else = 4 (invalid). Reverse
+complement of code c is 3 - c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INVALID = np.uint8(4)
+
+# ASCII -> 2-bit code lookup (case-insensitive); everything else -> 4.
+_CODE_LUT = np.full(256, INVALID, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE_LUT[_b] = _i
+    _CODE_LUT[_b + 32] = _i  # lowercase
+_BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def n_hi_lo(k: int) -> tuple[int, int]:
+    n_hi = k // 2
+    return n_hi, k - n_hi
+
+
+def seq_to_codes(seq: bytes | str | np.ndarray) -> np.ndarray:
+    """ASCII DNA -> uint8 codes in {0,1,2,3,4}."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray, memoryview)):
+        seq = np.frombuffer(seq, dtype=np.uint8)
+    return _CODE_LUT[seq]
+
+
+def codes_to_seq(codes: np.ndarray) -> str:
+    return _BASES[np.minimum(codes, 4)].tobytes().decode("ascii")
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement; invalid (4) stays invalid."""
+    rc = np.where(codes < 4, 3 - codes.astype(np.int16), 4).astype(np.uint8)
+    return rc[::-1]
+
+
+def _pack_windows(win: np.ndarray, k: int) -> np.ndarray:
+    """Pack (N, k) uint8 code windows into uint64 keys (big-endian 2-bit)."""
+    shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
+    return (win.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def canonical_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mer windows of a code sequence, canonicalized.
+
+    Returns (keys, valid): ``keys`` is uint64[P] with P = len(codes)-k+1
+    (canonical 2k-bit key; undefined where invalid), ``valid`` is bool[P]
+    marking windows containing no invalid base. Empty arrays if P <= 0.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    P = codes.size - k + 1
+    if P <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, bool))
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    valid = (win < 4).all(axis=1)
+    safe = np.where(win < 4, win, 0).astype(np.uint8)
+    fwd = _pack_windows(safe, k)
+    # revcomp of each window: complement codes, reverse within window.
+    rc_win = (3 - safe[:, ::-1].astype(np.int16)).astype(np.uint8)
+    rc = _pack_windows(rc_win, k)
+    return np.minimum(fwd, rc), valid
+
+
+def split_key(key64: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 key -> (hi, lo) int32 lanes (hi = top 2*n_hi bits)."""
+    _, n_lo = n_hi_lo(k)
+    hi = (key64 >> np.uint64(2 * n_lo)).astype(np.int32)
+    lo = (key64 & np.uint64((1 << (2 * n_lo)) - 1)).astype(np.int32)
+    return hi, lo
+
+
+def join_key(hi: np.ndarray, lo: np.ndarray, k: int) -> np.ndarray:
+    _, n_lo = n_hi_lo(k)
+    return (hi.astype(np.uint64) << np.uint64(2 * n_lo)) | lo.astype(np.uint64)
+
+
+def key_to_seq(key64: int, k: int) -> str:
+    """Decode a packed key back to its DNA string (debugging)."""
+    out = []
+    for i in range(k):
+        out.append("ACGT"[(int(key64) >> (2 * (k - 1 - i))) & 3])
+    return "".join(out)

@@ -1,0 +1,263 @@
+"""Host-side k-mer index builder: transcriptome FASTA (+ optional GTF) ->
+flat-array index (reference: seekmer index.py's build path, SURVEY.md 2.1 C3
+and call stack 3.1; the reference mount was empty at survey time so behavior
+follows the kallisto-class algorithm family tagged [A] there).
+
+Everything is vectorized numpy — no Python loop touches individual k-mers:
+
+  1. per transcript: canonical 25-mers (encoding.canonical_kmers);
+  2. global sort of (key, transcript) pairs, dedupe, group by key;
+  3. equivalence classes = groups of keys with identical transcript sets,
+     found by 128-bit order-sensitive fingerprints over the sorted sets;
+  4. open-addressing placement done OFFLINE: sort keys by home slot, place
+     greedily with ``pos[i] = max(home[i], pos[i-1]+1)`` — computed in one
+     ``np.maximum.accumulate`` — keys displaced >= main_probe relocate to a
+     low-load stash table so the device probe loop has a small static bound.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..encoding import canonical_kmers, seq_to_codes, split_key
+from ..ops.hash import hash_kmer, hash_kmer_stash
+from .store import EMPTY, KMerIndex
+
+log = logging.getLogger(__name__)
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+_M3 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> np.uint64(33))
+    x = x * _M1
+    x = x ^ (x >> np.uint64(33))
+    x = x * _M2
+    x = x ^ (x >> np.uint64(33))
+    return x
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(1, (n - 1).bit_length())
+
+
+def collect_kmer_pairs(
+    seqs: Iterable[str], k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (canonical key, transcript id) pairs plus transcript lengths."""
+    keys_parts, tid_parts, lengths = [], [], []
+    for tid, seq in enumerate(seqs):
+        codes = seq_to_codes(seq)
+        lengths.append(codes.size)
+        keys, valid = canonical_kmers(codes, k)
+        if keys.size:
+            kv = keys[valid]
+            keys_parts.append(kv)
+            tid_parts.append(np.full(kv.size, tid, dtype=np.int32))
+    if keys_parts:
+        keys = np.concatenate(keys_parts)
+        tids = np.concatenate(tid_parts)
+    else:
+        keys = np.empty(0, np.uint64)
+        tids = np.empty(0, np.int32)
+    return keys, tids, np.asarray(lengths, dtype=np.int32)
+
+
+def group_equivalence_classes(
+    keys: np.ndarray, tids: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Group k-mers by identical transcript set.
+
+    Returns (unique_keys, key_ec, ec_offsets, ec_transcripts): key_ec[i] is
+    the EC id of unique_keys[i]; CSR (ec_offsets, ec_transcripts) holds each
+    EC's sorted transcript ids.
+    """
+    # Sort pairs by (key, tid) and drop duplicates (k-mer repeated in a
+    # transcript must count once).
+    order = np.lexsort((tids, keys))
+    keys, tids = keys[order], tids[order]
+    keep = np.ones(keys.size, dtype=bool)
+    keep[1:] = (keys[1:] != keys[:-1]) | (tids[1:] != tids[:-1])
+    keys, tids = keys[keep], tids[keep]
+
+    # Key-group boundaries.
+    new_key = np.ones(keys.size, dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new_key)
+    unique_keys = keys[starts]
+    group_id = np.cumsum(new_key) - 1
+    group_len = np.diff(np.append(starts, keys.size)).astype(np.int64)
+
+    # Order-sensitive 128-bit fingerprint of each group's (sorted) tid list.
+    pos = np.arange(keys.size, dtype=np.int64) - starts[group_id]
+    t64 = tids.astype(np.uint64)
+    p64 = pos.astype(np.uint64)
+    c1 = _mix64(t64 * _M3 + p64)
+    c2 = _mix64((t64 + _M3) ^ (p64 * _M2))
+    h1 = np.add.reduceat(c1, starts) if starts.size else np.empty(0, np.uint64)
+    h2 = np.add.reduceat(c2, starts) if starts.size else np.empty(0, np.uint64)
+
+    sig = np.stack([h1, h2, group_len.astype(np.uint64)], axis=1)
+    _, first_idx, key_ec = np.unique(
+        sig, axis=0, return_index=True, return_inverse=True
+    )
+    key_ec = key_ec.reshape(-1).astype(np.int32)
+
+    # EC member lists from each EC's first key group.
+    ec_starts = starts[first_idx]
+    ec_lens = group_len[first_idx]
+    ec_offsets = np.zeros(first_idx.size + 1, dtype=np.int64)
+    np.cumsum(ec_lens, out=ec_offsets[1:])
+    gather = ec_starts.repeat(ec_lens) + (
+        np.arange(int(ec_offsets[-1]), dtype=np.int64)
+        - ec_offsets[:-1].repeat(ec_lens)
+    )
+    ec_transcripts = tids[gather].astype(np.int32)
+    return unique_keys, key_ec, ec_offsets.astype(np.int32), ec_transcripts
+
+
+def _offline_place(homes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy linear-probe placement for home slots sorted ascending.
+
+    Returns (order, pos): process keys in ``order``; key order[i] lands at
+    slot pos[i] (>= home, strictly increasing). Vectorized via the identity
+    pos[i] - i = max over j<=i of (home[j] - j).
+    """
+    order = np.argsort(homes, kind="stable")
+    hs = homes[order].astype(np.int64)
+    idx = np.arange(hs.size, dtype=np.int64)
+    pos = np.maximum.accumulate(hs - idx) + idx
+    return order, pos
+
+
+def build_oa_table(
+    hi: np.ndarray,
+    lo: np.ndarray,
+    vals: np.ndarray,
+    slots: int,
+    probe_cap: int,
+    hash_fn,
+) -> Tuple[np.ndarray, int, np.ndarray]:
+    """Build one open-addressing table (no wraparound: ``probe_cap`` spill
+    slots appended past ``slots``).
+
+    Returns (table int32[(slots+probe_cap), 4], max_probe, overflow_mask) —
+    overflow keys (displacement >= probe_cap) are NOT placed; the caller
+    routes them to the stash.
+    """
+    mask = np.uint32(slots - 1)
+    homes = (hash_fn(hi.view(np.uint32), lo.view(np.uint32)) & mask).astype(np.int64)
+    order, pos = _offline_place(homes)
+    disp = pos - homes[order]
+    over_sorted = disp >= probe_cap
+    overflow = np.zeros(hi.size, dtype=bool)
+    overflow[order[over_sorted]] = True
+
+    if overflow.any():
+        keep_order = order[~over_sorted]
+        _, pos2 = _offline_place(homes[keep_order])
+        # placement of a subsequence never displaces further than the original
+        place_idx, place_pos = keep_order, pos2
+        disp2 = place_pos - homes[keep_order]
+        assert disp2.max(initial=0) < probe_cap
+        max_probe = int(disp2.max(initial=-1)) + 1
+    else:
+        place_idx, place_pos = order, pos
+        max_probe = int(disp.max(initial=-1)) + 1
+
+    table = np.full((slots + probe_cap, 4), EMPTY, dtype=np.int32)
+    table[place_pos, 0] = hi[place_idx]
+    table[place_pos, 1] = lo[place_idx]
+    table[place_pos, 2] = vals[place_idx]
+    table[place_pos, 3] = 0
+    return table, max_probe, overflow
+
+
+def build_tables(
+    unique_keys: np.ndarray, key_ec: np.ndarray, k: int, cfg: IndexConfig
+) -> dict:
+    """Main + stash open-addressing tables for key -> EC id."""
+    hi, lo = split_key(unique_keys, k)
+    n = unique_keys.size
+    slots = _next_pow2(max(int(np.ceil(n / cfg.load_factor)), 16))
+    table, main_probe, overflow = build_oa_table(
+        hi, lo, key_ec, slots, cfg.main_probe, hash_kmer
+    )
+    n_over = int(overflow.sum())
+    log.info(
+        "main table: %d keys, %d slots (load %.2f), max probe %d, %d stashed",
+        n, slots, n / slots, main_probe, n_over,
+    )
+
+    s_hi, s_lo, s_val = hi[overflow], lo[overflow], key_ec[overflow]
+    stash_slots = _next_pow2(
+        max(cfg.stash_min_slots, int(np.ceil(max(n_over, 1) / cfg.stash_load)))
+    )
+    while True:
+        stash, stash_probe, s_over = build_oa_table(
+            s_hi, s_lo, s_val, stash_slots, cfg.stash_probe, hash_kmer_stash
+        )
+        if not s_over.any():
+            break
+        stash_slots *= 2  # extremely unlikely at stash_load
+    return dict(
+        table=table,
+        main_slots=slots,
+        main_probe=main_probe,
+        stash=stash,
+        stash_slots=stash_slots,
+        stash_probe=stash_probe,
+    )
+
+
+def build_index(
+    fasta_path: str,
+    gtf_path: Optional[str] = None,
+    cfg: IndexConfig = IndexConfig(),
+) -> KMerIndex:
+    """End-to-end index build: FASTA (+GTF) -> KMerIndex."""
+    from ..io.fasta import read_fasta
+    from ..io.gtf import transcript_gene_map
+
+    names, seqs = [], []
+    for name, seq in read_fasta(fasta_path):
+        names.append(name)
+        seqs.append(seq)
+    return build_index_from_seqs(names, seqs, gtf_path=gtf_path, cfg=cfg)
+
+
+def build_index_from_seqs(
+    names: list[str],
+    seqs: list[str],
+    gtf_path: Optional[str] = None,
+    cfg: IndexConfig = IndexConfig(),
+) -> KMerIndex:
+    keys, tids, lengths = collect_kmer_pairs(seqs, cfg.k)
+    log.info("collected %d k-mer pairs from %d transcripts", keys.size, len(names))
+    unique_keys, key_ec, ec_offsets, ec_transcripts = group_equivalence_classes(
+        keys, tids
+    )
+    log.info("%d distinct %d-mers in %d equivalence classes",
+             unique_keys.size, cfg.k, ec_offsets.size - 1)
+    tables = build_tables(unique_keys, key_ec, cfg.k, cfg)
+
+    genes = None
+    if gtf_path is not None:
+        t2g = transcript_gene_map(gtf_path)
+        genes = np.array([t2g.get(n, "NA") for n in names])
+
+    return KMerIndex(
+        k=cfg.k,
+        ec_offsets=ec_offsets,
+        ec_transcripts=ec_transcripts,
+        names=np.array(names),
+        lengths=lengths,
+        genes=genes,
+        **tables,
+    )

@@ -1,0 +1,115 @@
+"""Synthetic transcriptome + RNA-seq read simulation.
+
+No sequencing data ships with this machine and the reference mount is empty
+(SURVEY.md section 0), so tests and benchmarks generate their own fixtures:
+a random transcriptome and reads drawn from it with optional errors — the
+TPU-side analog of the reference's tiny FASTA/FASTQ test fixtures
+(SURVEY.md 2.1 C11, "CPU-runnable reference Seekmer test set").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclasses.dataclass
+class SimulatedReads:
+    reads1: List[str]
+    reads2: Optional[List[str]]  # paired-end mate 2 (None for single-end)
+    true_transcript: np.ndarray  # int32[N] source transcript per fragment
+
+
+def random_transcriptome(
+    rng: np.random.Generator,
+    num_transcripts: int = 50,
+    min_len: int = 200,
+    max_len: int = 2000,
+    shared_prefix_frac: float = 0.0,
+) -> Tuple[List[str], List[str]]:
+    """Random transcript sequences. ``shared_prefix_frac`` > 0 makes groups of
+    transcripts share sequence (realistic isoform ambiguity for EC tests)."""
+    names = [f"txp{i:05d}" for i in range(num_transcripts)]
+    seqs: List[str] = []
+    base_seq = None
+    for i in range(num_transcripts):
+        L = int(rng.integers(min_len, max_len + 1))
+        seq = _BASES[rng.integers(0, 4, size=L)].tobytes().decode()
+        if shared_prefix_frac > 0 and base_seq is not None and rng.random() < 0.5:
+            n_shared = int(len(seq) * shared_prefix_frac)
+            seq = base_seq[:n_shared] + seq[n_shared:]
+        if i % 4 == 0:
+            base_seq = seq
+        seqs.append(seq)
+    return names, seqs
+
+
+def simulate_reads(
+    rng: np.random.Generator,
+    seqs: List[str],
+    num_reads: int = 1000,
+    read_len: int = 100,
+    paired: bool = False,
+    mean_frag: float = 250.0,
+    sd_frag: float = 25.0,
+    error_rate: float = 0.0,
+    abundance: Optional[np.ndarray] = None,
+) -> SimulatedReads:
+    """Draw fragments from transcripts (prob ~ abundance * effective length)
+    and emit error-injected reads; mate 2 is the reverse complement end."""
+    T = len(seqs)
+    lens = np.array([len(s) for s in seqs])
+    frag = int(mean_frag) if paired else read_len
+    eff = np.maximum(lens - frag + 1, 0).astype(np.float64)
+    w = (abundance if abundance is not None else np.ones(T)) * eff
+    if w.sum() == 0:
+        raise ValueError("no transcript long enough for the fragment length")
+    p = w / w.sum()
+
+    tids = rng.choice(T, size=num_reads, p=p).astype(np.int32)
+    reads1, reads2 = [], ([] if paired else None)
+    comp = str.maketrans("ACGT", "TGCA")
+    for t in tids:
+        seq = seqs[t]
+        if paired:
+            flen = int(np.clip(rng.normal(mean_frag, sd_frag), read_len, len(seq)))
+        else:
+            flen = read_len
+        start = int(rng.integers(0, len(seq) - flen + 1))
+        fragment = seq[start : start + flen]
+        r1 = fragment[:read_len]
+        if error_rate > 0:
+            r1 = _inject_errors(rng, r1, error_rate)
+        reads1.append(r1)
+        if paired:
+            r2 = fragment[-read_len:][::-1].translate(comp)
+            if error_rate > 0:
+                r2 = _inject_errors(rng, r2, error_rate)
+            reads2.append(r2)
+    return SimulatedReads(reads1=reads1, reads2=reads2, true_transcript=tids)
+
+
+def _inject_errors(rng: np.random.Generator, read: str, rate: float) -> str:
+    arr = np.frombuffer(read.encode(), dtype=np.uint8).copy()
+    hit = rng.random(arr.size) < rate
+    if hit.any():
+        arr[hit] = _BASES[rng.integers(0, 4, size=int(hit.sum()))]
+    return arr.tobytes().decode()
+
+
+def write_fasta(path: str, names: List[str], seqs: List[str]) -> None:
+    with open(path, "w") as fh:
+        for n, s in zip(names, seqs):
+            fh.write(f">{n}\n{s}\n")
+
+
+def write_fastq(path: str, reads: List[str], name_prefix: str = "read") -> None:
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "wt") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@{name_prefix}{i}\n{r}\n+\n{'I' * len(r)}\n")

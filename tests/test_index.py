@@ -1,0 +1,120 @@
+"""Index builder tests: hash build/probe round-trip + EC grouping
+(SURVEY.md section 4 item 2)."""
+
+import numpy as np
+import pytest
+
+from seekmer_tpu import encoding as enc
+from seekmer_tpu.config import IndexConfig
+from seekmer_tpu.index import build as ib
+from seekmer_tpu.index.store import EMPTY, KMerIndex
+from seekmer_tpu.ops.hash import hash_kmer, hash_kmer_stash
+from seekmer_tpu.utils.simulate import random_transcriptome
+
+
+def _host_lookup(index: KMerIndex, key64: int) -> int:
+    """Pure-numpy probe of main+stash tables (mirrors the device loop)."""
+    hi, lo = enc.split_key(np.array([key64], np.uint64), index.k)
+    for table, slots, probe, fn in (
+        (index.table, index.main_slots, index.main_probe, hash_kmer),
+        (index.stash, index.stash_slots, index.stash_probe, hash_kmer_stash),
+    ):
+        h = int(fn(hi.view(np.uint32), lo.view(np.uint32))[0] & np.uint32(slots - 1))
+        for d in range(probe):
+            row = table[h + d]
+            if row[0] == EMPTY:
+                break
+            if row[0] == hi[0] and row[1] == lo[0]:
+                return int(row[2])
+    return -1
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    rng = np.random.default_rng(7)
+    names, seqs = random_transcriptome(rng, num_transcripts=30, min_len=100,
+                                      max_len=500, shared_prefix_frac=0.5)
+    cfg = IndexConfig()
+    return ib.build_index_from_seqs(names, seqs, cfg=cfg), names, seqs, cfg
+
+
+def test_ec_membership_exact(small_index):
+    """Every k-mer of every transcript must look up to an EC containing
+    exactly the set of transcripts that contain that k-mer."""
+    index, names, seqs, cfg = small_index
+    # ground truth: key -> set of transcript ids
+    truth: dict[int, set[int]] = {}
+    for tid, seq in enumerate(seqs):
+        keys, valid = enc.canonical_kmers(enc.seq_to_codes(seq), cfg.k)
+        for kk in keys[valid]:
+            truth.setdefault(int(kk), set()).add(tid)
+
+    rng = np.random.default_rng(3)
+    sample = rng.choice(list(truth.keys()), size=min(500, len(truth)), replace=False)
+    for key in sample:
+        ec = _host_lookup(index, int(key))
+        assert ec >= 0, "present k-mer must be found"
+        members = set(index.ec_members(ec).tolist())
+        assert members == truth[int(key)]
+
+
+def test_absent_kmer_returns_unmapped(small_index):
+    index, _, seqs, cfg = small_index
+    present = set()
+    for seq in seqs:
+        keys, valid = enc.canonical_kmers(enc.seq_to_codes(seq), cfg.k)
+        present.update(keys[valid].tolist())
+    rng = np.random.default_rng(11)
+    misses = 0
+    while misses < 50:
+        key = int(rng.integers(0, 1 << (2 * cfg.k), dtype=np.uint64))
+        # canonicalize the probe key the same way reads are
+        s = enc.key_to_seq(key, cfg.k)
+        keys, _ = enc.canonical_kmers(enc.seq_to_codes(s), cfg.k)
+        key = int(keys[0])
+        if key in present:
+            continue
+        assert _host_lookup(index, key) == -1
+        misses += 1
+
+
+def test_save_load_roundtrip(tmp_path, small_index):
+    index, names, _, _ = small_index
+    p = str(tmp_path / "index.npz")
+    index.save(p)
+    loaded = KMerIndex.load(p)
+    assert loaded.k == index.k
+    assert (loaded.table == index.table).all()
+    assert (loaded.stash == index.stash).all()
+    assert (loaded.ec_offsets == index.ec_offsets).all()
+    assert (loaded.ec_transcripts == index.ec_transcripts).all()
+    assert loaded.names.tolist() == list(names)
+    assert (loaded.lengths == index.lengths).all()
+
+
+def test_offline_placement_properties(rng):
+    """Offline greedy placement = classic linear probing invariants."""
+    homes = rng.integers(0, 64, size=40).astype(np.int64)
+    order, pos = ib._offline_place(homes)
+    hs = homes[order]
+    assert (pos >= hs).all()
+    assert (np.diff(pos) >= 1).all()  # distinct, increasing slots
+
+
+def test_overflow_goes_to_stash():
+    """Force tiny probe cap so overflow keys exercise the stash path."""
+    rng = np.random.default_rng(5)
+    n = 5000
+    keys = np.unique(rng.integers(0, 1 << 50, size=n, dtype=np.uint64))
+    vals = np.arange(keys.size, dtype=np.int32)
+    cfg = IndexConfig(main_probe=3, load_factor=0.9)
+    hi, lo = enc.split_key(keys, 25)
+    tables = ib.build_tables(keys, vals, 25, cfg)
+    index = KMerIndex(
+        k=25, ec_offsets=np.zeros(1, np.int32),
+        ec_transcripts=np.zeros(0, np.int32),
+        names=np.array([]), lengths=np.zeros(0, np.int32), **tables,
+    )
+    assert (index.stash[:, 0] != EMPTY).sum() > 0, "expected stash occupancy"
+    for i in rng.choice(keys.size, size=200, replace=False):
+        assert _host_lookup(index, int(keys[i])) == int(vals[i])
