@@ -1,0 +1,150 @@
+"""Command-line interface (reference: seekmer __main__.py's argparse
+subcommands `index` / `infer`, SURVEY.md 2.1 C1 and section 1 L5)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def _common(p):
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _add_index(sub):
+    p = _common(sub.add_parser(
+        "index", help="build a k-mer index from a transcriptome"))
+    p.add_argument("fasta", help="transcriptome FASTA (.fa/.fa.gz)")
+    p.add_argument("output", help="output index file (.npz)")
+    p.add_argument("--gtf", default=None, help="GTF for transcript->gene map")
+    p.add_argument("--kmer-length", type=int, default=25)
+    p.add_argument("--load-factor", type=float, default=0.5)
+    return p
+
+
+def _add_infer(sub):
+    p = _common(sub.add_parser("infer", help="quantify reads against an index"))
+    p.add_argument("index", help="index file from `index`")
+    p.add_argument("output_dir", help="output directory")
+    p.add_argument("fastq", nargs="+", help="FASTQ(.gz) files")
+    p.add_argument("--mates", nargs="*", default=None,
+                   help="mate-2 FASTQ files (paired-end)")
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--max-ecs-per-read", type=int, default=16)
+    p.add_argument("--sig-table-bits", type=int, default=20)
+    p.add_argument("--fragment-length", type=float, default=200.0)
+    p.add_argument("--em-tolerance", type=float, default=1e-4)
+    p.add_argument("--em-max-iters", type=int, default=1000)
+    p.add_argument("--bootstrap", type=int, default=0,
+                   help="number of bootstrap replicates")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--x64", action="store_true",
+                   help="float64 EM (bit-parity with the float64 oracle)")
+    return p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="seekmer_tpu",
+        description="TPU-native RNA-seq quantification "
+        "(k-mer pseudoalignment + EM)",
+    )
+    _common(ap)
+    sub = ap.add_subparsers(dest="command", required=True)
+    _add_index(sub)
+    _add_infer(sub)
+    return ap
+
+
+def cmd_index(args) -> int:
+    from .config import IndexConfig
+    from .index.build import build_index
+
+    cfg = IndexConfig(k=args.kmer_length, load_factor=args.load_factor)
+    t0 = time.perf_counter()
+    index = build_index(args.fasta, gtf_path=args.gtf, cfg=cfg)
+    index.save(args.output)
+    logging.info(
+        "indexed %d transcripts / %d k-mers / %d ECs in %.1fs -> %s",
+        index.num_transcripts, index.num_kmers, index.num_ecs,
+        time.perf_counter() - t0, args.output,
+    )
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import os
+
+    from .config import EMConfig, MapConfig, PipelineConfig
+    from .index.store import KMerIndex
+    from .io.writer import write_abundance, write_bootstrap, write_run_info
+    from .models.quantifier import Quantifier
+
+    index = KMerIndex.load(args.index)
+    cfg = PipelineConfig().replace(
+        map=MapConfig(
+            batch_size=args.batch_size,
+            max_ecs_per_read=args.max_ecs_per_read,
+            sig_table_bits=args.sig_table_bits,
+            paired_end=bool(args.mates),
+        ),
+        em=EMConfig(
+            mean_fragment_length=args.fragment_length,
+            rel_tol=args.em_tolerance,
+            max_iters=args.em_max_iters,
+            bootstrap_samples=args.bootstrap,
+            bootstrap_seed=args.seed,
+            use_x64=args.x64,
+        ),
+    )
+    q = Quantifier(index, cfg)
+    result = q.quantify_files(args.fastq, mate_paths=args.mates or None)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "abundance.tsv")
+    write_abundance(out, result.names, result.lengths, result.eff_length,
+                    result.est_counts, result.tpm)
+    if result.bootstrap_counts is not None:
+        write_bootstrap(os.path.join(args.output_dir, "bootstrap.npz"),
+                        result.names, result.bootstrap_counts)
+    write_run_info(
+        os.path.join(args.output_dir, "run_info.json"),
+        {
+            "total_reads": result.total_reads,
+            "mapped": result.mapped,
+            "unmapped": result.unmapped,
+            "p_mapped": result.mapped / max(result.total_reads, 1),
+            "em_iterations": result.em_iterations,
+            "bootstrap_samples": args.bootstrap,
+            "timings": result.timings,
+            "index": args.index,
+            "n_targets": int(index.num_transcripts),
+        },
+    )
+    logging.info("wrote %s (%d/%d reads mapped, %d EM iters)",
+                 out, result.mapped, result.total_reads,
+                 result.em_iterations)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+    )
+    np.set_printoptions(precision=4, suppress=True)
+    if args.command == "index":
+        return cmd_index(args)
+    if args.command == "infer":
+        return cmd_infer(args)
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Bootstrap uncertainty quantification: multinomially resampled EC counts,
+EM re-run per replicate (reference: infer.py's bootstrap loop, SURVEY.md 2.1
+C8 / call stack 3.5).
+
+TPU-first: the reference loops replicates serially; here all B replicates
+run as ONE batched while_loop (`vmap` of the EM step over the replicate
+axis, SURVEY.md 2.2 P4) and the replicate axis can additionally be sharded
+across chips (parallel/ wiring). The fixed point iterates until every
+replicate meets the shared convergence rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EMConfig
+from .em import ECTable, effective_lengths, em_step
+
+
+def resample_counts(key, counts, num_samples: int):
+    """Multinomial resample of the EC count vector: n^(b) ~ Mult(N, n/N)."""
+    N = counts.sum()
+    p = counts / N
+    keys = jax.random.split(key, num_samples)
+    draw = lambda k: jax.random.multinomial(k, N, p)
+    return jax.vmap(draw)(keys).astype(counts.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
+)
+def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
+                   num_transcripts, cfg: EMConfig):
+    dtype = counts.dtype
+    eff = effective_lengths(lengths, cfg, dtype)
+    key = jax.random.PRNGKey(cfg.bootstrap_seed)
+    cmat = resample_counts(key, counts, cfg.bootstrap_samples)  # [B, E]
+
+    B, T = cfg.bootstrap_samples, num_transcripts
+    n_per = cmat.sum(axis=1, keepdims=True)
+    alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype)
+
+    def step_one(alpha_row, counts_row):
+        ec = ECTable(counts_row, ec_ids, txp_ids, num_ecs, num_transcripts)
+        return em_step(alpha_row, ec, eff)
+
+    step = jax.vmap(step_one)
+
+    def cond(state):
+        it, all_conv, _ = state
+        return (~all_conv | (it < cfg.min_iters)) & (it < cfg.max_iters)
+
+    def body(state):
+        it, _, alpha = state
+        alpha_new = step(alpha, cmat)
+        active = alpha_new > cfg.count_floor
+        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+        all_conv = jnp.all(jnp.where(active, rel, 0.0).max(axis=1) < cfg.rel_tol)
+        return it + 1, all_conv, alpha_new
+
+    it, _, alpha = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
+    )
+    return alpha, it
+
+
+def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
+    """Returns est_counts per replicate: float[B, T]."""
+    alpha, _ = _bootstrap_jit(
+        ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),
+        ec.num_ecs, ec.num_transcripts, cfg,
+    )
+    return alpha

@@ -1,0 +1,144 @@
+"""EM transcript-abundance inference on device (reference: seekmer infer.py,
+SURVEY.md 2.1 C7 and call stack 3.4; exact upstream constants are open
+parameters pinned in EMConfig until the reference mount is readable).
+
+TPU-first formulation: the EC membership structure is a flat CSR —
+``txp_ids[nnz]`` / ``ec_ids[nnz]`` (sorted by EC) — so one EM iteration is
+two segment-sums and elementwise work, all static shapes, wrapped in a
+``jax.lax.while_loop`` fixed point:
+
+  E: w = alpha[txp] / eff[txp];  denom_c = segsum_ec(w)
+     r = n_c * w / denom_c
+  M: alpha'_t = segsum_txp(r)
+
+The same function runs single-chip, vmapped over bootstrap replicates
+(em/bootstrap.py), and under shard_map with psum reductions
+(parallel/collective_em.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EMConfig
+
+
+class ECTable(NamedTuple):
+    """Flat equivalence-class structure for EM (host-built, device-resident)."""
+
+    counts: jnp.ndarray  # float[E] reads per EC
+    ec_ids: jnp.ndarray  # int32[nnz] EC id per membership entry (sorted)
+    txp_ids: jnp.ndarray  # int32[nnz] transcript id per membership entry
+    num_ecs: int  # static E
+    num_transcripts: int  # static T
+
+
+def build_ec_table(
+    member_lists: List[np.ndarray],
+    counts: np.ndarray,
+    num_transcripts: int,
+    dtype=jnp.float32,
+    pad_to: int | None = None,
+) -> ECTable:
+    """Flatten per-EC member lists into the CSR used on device.
+
+    ``pad_to`` rounds nnz up (padding entries point at EC E-1 with weight 0
+    via a zero-count pad EC) to stabilize compiled shapes across runs.
+    """
+    E = len(member_lists)
+    nnz_list = [m.size for m in member_lists]
+    ec_ids = np.repeat(np.arange(E, dtype=np.int32), nnz_list)
+    txp_ids = (
+        np.concatenate(member_lists).astype(np.int32)
+        if member_lists
+        else np.empty(0, np.int32)
+    )
+    c = np.asarray(counts, dtype=np.float64)
+    if pad_to is not None and txp_ids.size < pad_to:
+        pad = pad_to - txp_ids.size
+        # pad entries belong to a synthetic zero-count EC so they are inert
+        ec_ids = np.concatenate([ec_ids, np.full(pad, E, np.int32)])
+        txp_ids = np.concatenate([txp_ids, np.zeros(pad, np.int32)])
+        c = np.concatenate([c, [0.0]])
+        E += 1
+    return ECTable(
+        counts=jnp.asarray(c, dtype=dtype),
+        ec_ids=jnp.asarray(ec_ids),
+        txp_ids=jnp.asarray(txp_ids),
+        num_ecs=E,
+        num_transcripts=num_transcripts,
+    )
+
+
+def effective_lengths(lengths: jnp.ndarray, cfg: EMConfig, dtype=jnp.float32):
+    return jnp.maximum(
+        lengths.astype(dtype) - jnp.asarray(cfg.mean_fragment_length, dtype) + 1.0,
+        1.0,
+    )
+
+
+def em_step(alpha, ec: ECTable, eff):
+    """One E+M iteration in counts space."""
+    w = alpha[ec.txp_ids] / eff[ec.txp_ids]
+    denom = jax.ops.segment_sum(
+        w, ec.ec_ids, num_segments=ec.num_ecs, indices_are_sorted=True
+    )
+    d = denom[ec.ec_ids]
+    r = jnp.where(d > 0, ec.counts[ec.ec_ids] * w / d, 0.0)
+    return jax.ops.segment_sum(r, ec.txp_ids, num_segments=ec.num_transcripts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
+)
+def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts, cfg):
+    ec = ECTable(counts, ec_ids, txp_ids, num_ecs, num_transcripts)
+    dtype = counts.dtype
+    eff = effective_lengths(lengths, cfg, dtype)
+    N = counts.sum()
+    T = num_transcripts
+    alpha0 = jnp.full((T,), N / T, dtype=dtype)
+
+    def cond(state):
+        it, converged, _ = state
+        return (~converged | (it < cfg.min_iters)) & (it < cfg.max_iters)
+
+    def body(state):
+        it, _, alpha = state
+        alpha_new = em_step(alpha, ec, eff)
+        active = alpha_new > cfg.count_floor
+        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+        converged = jnp.where(active, rel, 0.0).max() < cfg.rel_tol
+        return it + 1, converged, alpha_new
+
+    it, _, alpha = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
+    )
+    return alpha, it
+
+
+def run_em(
+    ec: ECTable, lengths, cfg: EMConfig = EMConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EM to convergence. Returns (alpha float[T], iterations int32)."""
+    return _run_em_jit(
+        ec.counts,
+        ec.ec_ids,
+        ec.txp_ids,
+        jnp.asarray(lengths),
+        ec.num_ecs,
+        ec.num_transcripts,
+        cfg,
+    )
+
+
+def tpm_from_alpha(alpha, lengths, cfg: EMConfig):
+    eff = effective_lengths(jnp.asarray(lengths), cfg, alpha.dtype)
+    rate = jnp.where(alpha > 0, alpha / eff, 0.0)
+    s = rate.sum()
+    return jnp.where(s > 0, 1e6 * rate / s, 0.0)

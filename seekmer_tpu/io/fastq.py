@@ -1,0 +1,130 @@
+"""Streaming FASTQ(.gz) reading and device-batch packing (reference: the
+FASTQ reader feeding seekmer's mapper worker pool, SURVEY.md 2.1 C5/C6).
+
+Reads are 2-bit encoded host-side and bucket-padded to a few static lengths
+(multiples of MapConfig.length_bucket) so XLA compiles one mapper executable
+per bucket instead of one per read length (SURVEY.md 7.5 item 5). Padding
+rows (weight 0) fill the final partial batch of each bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import MapConfig
+from ..encoding import INVALID, seq_to_codes
+
+
+def _open_bytes(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_fastq(path: str) -> Iterator[bytes]:
+    """Yield raw sequence lines of a FASTQ(.gz) file."""
+    with _open_bytes(path) as fh:
+        while True:
+            header = fh.readline()
+            if not header:
+                return
+            seq = fh.readline().strip()
+            fh.readline()  # +
+            fh.readline()  # quality
+            if not header.startswith(b"@"):
+                raise ValueError(f"malformed FASTQ record near {header[:40]!r}")
+            yield seq
+
+
+def read_fastq_many(paths: Iterable[str]) -> Iterator[bytes]:
+    for p in paths:
+        yield from read_fastq(p)
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    """One padded device batch (single- or paired-end)."""
+
+    codes: np.ndarray  # uint8[B, L] (INVALID-padded)
+    lengths: np.ndarray  # int32[B]
+    weights: np.ndarray  # int32[B] 1 = real read, 0 = pad row
+    codes2: Optional[np.ndarray] = None  # mate 2 (paired-end)
+    lengths2: Optional[np.ndarray] = None
+
+    @property
+    def n_real(self) -> int:
+        return int(self.weights.sum())
+
+    @property
+    def bucket(self) -> int:
+        return self.codes.shape[1]
+
+
+def _bucket_of(length: int, cfg: MapConfig) -> int:
+    length = min(max(length, 1), cfg.max_read_len)
+    b = cfg.length_bucket
+    return ((length + b - 1) // b) * b
+
+
+def _pack(seqs: list[bytes], L: int, B: int) -> Tuple[np.ndarray, np.ndarray]:
+    codes = np.full((B, L), INVALID, dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = seq_to_codes(s[:L])
+        codes[i, : c.size] = c
+        lengths[i] = c.size
+    return codes, lengths
+
+
+def batch_reads(
+    seqs: Iterable[bytes], cfg: MapConfig
+) -> Iterator[ReadBatch]:
+    """Group single-end reads into fixed-shape batches per length bucket."""
+    pending: dict[int, list[bytes]] = {}
+    B = cfg.batch_size
+    for seq in seqs:
+        bucket = _bucket_of(len(seq), cfg)
+        lst = pending.setdefault(bucket, [])
+        lst.append(seq)
+        if len(lst) == B:
+            codes, lengths = _pack(lst, bucket, B)
+            yield ReadBatch(codes, lengths, np.ones(B, np.int32))
+            pending[bucket] = []
+    for bucket, lst in pending.items():
+        if not lst:
+            continue
+        codes, lengths = _pack(lst, bucket, B)
+        w = np.zeros(B, np.int32)
+        w[: len(lst)] = 1
+        yield ReadBatch(codes, lengths, w)
+
+
+def batch_read_pairs(
+    pairs: Iterable[Tuple[bytes, bytes]], cfg: MapConfig
+) -> Iterator[ReadBatch]:
+    """Paired-end batching; both mates padded to the pair's max bucket."""
+    pending: dict[int, list[Tuple[bytes, bytes]]] = {}
+    B = cfg.batch_size
+    for r1, r2 in pairs:
+        bucket = _bucket_of(max(len(r1), len(r2)), cfg)
+        lst = pending.setdefault(bucket, [])
+        lst.append((r1, r2))
+        if len(lst) == B:
+            yield _pack_pairs(lst, bucket, B, np.ones(B, np.int32))
+            pending[bucket] = []
+    for bucket, lst in pending.items():
+        if not lst:
+            continue
+        w = np.zeros(B, np.int32)
+        w[: len(lst)] = 1
+        yield _pack_pairs(lst, bucket, B, w)
+
+
+def _pack_pairs(lst, bucket: int, B: int, w: np.ndarray) -> ReadBatch:
+    codes1, len1 = _pack([a for a, _ in lst], bucket, B)
+    codes2, len2 = _pack([b for _, b in lst], bucket, B)
+    return ReadBatch(codes1, len1, w, codes2=codes2, lengths2=len2)

@@ -1,0 +1,60 @@
+"""Abundance output writing (reference: infer.py's results writer, SURVEY.md
+2.1 C9 — `target_id, length, eff_length, est_counts, tpm` table plus
+bootstrap replicates and a JSON run info sidecar)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def write_abundance(
+    path: str,
+    names: np.ndarray,
+    lengths: np.ndarray,
+    eff_lengths: np.ndarray,
+    est_counts: np.ndarray,
+    tpm: np.ndarray,
+) -> None:
+    with open(path, "w") as fh:
+        fh.write("target_id\tlength\teff_length\test_counts\ttpm\n")
+        for i in range(len(names)):
+            fh.write(
+                f"{names[i]}\t{int(lengths[i])}\t{eff_lengths[i]:.6g}\t"
+                f"{est_counts[i]:.6g}\t{tpm[i]:.6g}\n"
+            )
+
+
+def write_bootstrap(path: str, names: np.ndarray, boot_counts: np.ndarray) -> None:
+    """Bootstrap est_counts matrix (replicates x transcripts) as npz."""
+    np.savez_compressed(path, names=names.astype("S"), est_counts=boot_counts)
+
+
+def write_run_info(path: str, info: Dict) -> None:
+    with open(path, "w") as fh:
+        json.dump(info, fh, indent=2, default=str)
+        fh.write("\n")
+
+
+def read_abundance(path: str) -> Dict[str, np.ndarray]:
+    names, lengths, eff, counts, tpm = [], [], [], [], []
+    with open(path) as fh:
+        header = fh.readline()
+        assert header.startswith("target_id"), f"bad abundance header: {header!r}"
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            names.append(f[0])
+            lengths.append(int(f[1]))
+            eff.append(float(f[2]))
+            counts.append(float(f[3]))
+            tpm.append(float(f[4]))
+    return {
+        "target_id": np.array(names),
+        "length": np.array(lengths),
+        "eff_length": np.array(eff),
+        "est_counts": np.array(counts),
+        "tpm": np.array(tpm),
+    }

@@ -1,0 +1,174 @@
+"""Single-chip mapping driver: FASTQ batches -> device map step -> signature
+table -> resolved EC counts (reference: seekmer mapper.py's batch pipeline +
+count merge, SURVEY.md 2.1 C4/C6 and call stack 3.2).
+
+The device step (pack -> probe -> signature -> accumulate) is one jitted
+function per read-length bucket with the signature table donated, so steady
+state runs with zero host<->device traffic per batch; the host only streams
+and packs reads. Signature->transcript-set resolution happens once at the
+end, scaling with signature diversity rather than read count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MapConfig
+from ..index.store import KMerIndex
+from ..io.fastq import ReadBatch
+from ..ops.kmer_pack import pack_canonical
+from ..ops.probe import lookup_ecs
+from .signature import (
+    SigTable,
+    accumulate,
+    make_sig_table,
+    read_signatures,
+    table_to_host,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DeviceIndex:
+    """Index tables resident on device (or sharded across a mesh)."""
+
+    table: jnp.ndarray
+    stash: jnp.ndarray
+    main_slots: int
+    main_probe: int
+    stash_slots: int
+    stash_probe: int
+    k: int
+
+    @classmethod
+    def from_host(cls, index: KMerIndex, device=None) -> "DeviceIndex":
+        put = functools.partial(jax.device_put, device=device)
+        return cls(
+            table=put(index.table),
+            stash=put(index.stash),
+            main_slots=index.main_slots,
+            main_probe=index.main_probe,
+            stash_slots=index.stash_slots,
+            stash_probe=index.stash_probe,
+            k=index.k,
+        )
+
+
+@dataclasses.dataclass
+class MapResult:
+    """Host-side mapping summary: distinct signatures + statistics."""
+
+    sigs: np.ndarray  # int32[U, C] sorted EC ids padded with SIG_PAD
+    sig_counts: np.ndarray  # int64[U]
+    total_reads: int
+    mapped: int
+    overflow: int  # mapped reads lost to signature-table overflow
+
+    @property
+    def unmapped(self) -> int:
+        return self.total_reads - self.mapped - self.overflow
+
+
+def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
+             codes, lengths, weights, codes2=None, lengths2=None) -> SigTable:
+    """One device mapping step (jit-traced per bucket shape)."""
+    di = device_index
+    hi, lo, valid = pack_canonical(codes, lengths, di.k)
+    ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots, di.main_probe,
+                     di.stash, di.stash_slots, di.stash_probe)
+    if codes2 is not None:
+        hi2, lo2, valid2 = pack_canonical(codes2, lengths2, di.k)
+        ecs2 = lookup_ecs(hi2, lo2, valid2, di.table, di.main_slots,
+                          di.main_probe, di.stash, di.stash_slots,
+                          di.stash_probe)
+        # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
+        ecs = jnp.concatenate([ecs, ecs2], axis=1)
+        valid = jnp.concatenate([valid, valid2], axis=1)
+    sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
+    return accumulate(table, sig, mapped, weights=weights,
+                      sig_probe=cfg.sig_probe)
+
+
+class Mapper:
+    """Stateful single-chip mapper: feed batches, then finalize."""
+
+    def __init__(self, index: KMerIndex, cfg: MapConfig = MapConfig(),
+                 device=None):
+        self.index = index
+        self.cfg = cfg
+        self.device_index = DeviceIndex.from_host(index, device=device)
+        self.table = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        self.total_reads = 0
+        self._steps: Dict[Tuple[int, bool], callable] = {}
+
+    def _get_step(self, bucket: int, paired: bool):
+        key = (bucket, paired)
+        if key not in self._steps:
+            fn = functools.partial(map_step, self.device_index, self.cfg)
+            self._steps[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._steps[key]
+
+    def feed(self, batch: ReadBatch) -> None:
+        paired = batch.codes2 is not None
+        step = self._get_step(batch.bucket, paired)
+        kwargs = {}
+        if paired:
+            kwargs = dict(codes2=batch.codes2, lengths2=batch.lengths2)
+        self.table = step(self.table, batch.codes, batch.lengths,
+                          batch.weights, **kwargs)
+        self.total_reads += batch.n_real
+
+    def run(self, batches: Iterable[ReadBatch]) -> "MapResult":
+        for batch in batches:
+            self.feed(batch)
+        return self.finalize()
+
+    def finalize(self) -> MapResult:
+        sigs, counts = table_to_host(self.table)
+        overflow = int(self.table.overflow)
+        mapped = int(counts.sum())
+        if overflow:
+            log.warning(
+                "%d mapped reads lost to signature-table overflow; "
+                "increase MapConfig.sig_table_bits", overflow)
+        return MapResult(sigs=sigs, sig_counts=counts,
+                         total_reads=self.total_reads, mapped=mapped,
+                         overflow=overflow)
+
+
+def resolve_signatures(
+    result: MapResult, index: KMerIndex
+) -> Tuple[List[np.ndarray], np.ndarray, int]:
+    """Distinct signatures -> final ECs (distinct transcript intersections).
+
+    Returns (member_lists, counts, dropped); dropped = reads whose EC
+    intersection is empty. Host cost scales with #distinct signatures.
+    """
+    agg: Dict[tuple, int] = {}
+    dropped = 0
+    pad = np.int32(0x7FFFFFFF)
+    for row, n in zip(result.sigs, result.sig_counts):
+        ecs = row[row != pad]
+        members = index.ec_members(int(ecs[0]))
+        for ec in ecs[1:]:
+            members = np.intersect1d(
+                members, index.ec_members(int(ec)), assume_unique=True
+            )
+            if members.size == 0:
+                break
+        if members.size == 0:
+            dropped += int(n)
+            continue
+        key = tuple(members.tolist())
+        agg[key] = agg.get(key, 0) + int(n)
+    member_lists = [np.array(m, dtype=np.int32) for m in agg]
+    counts = np.array(list(agg.values()), dtype=np.float64)
+    return member_lists, counts, dropped

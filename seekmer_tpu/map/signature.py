@@ -1,0 +1,176 @@
+"""Per-read EC signatures and the device-resident signature count table.
+
+This solves the hard design problem of SURVEY.md 7.5.1 — the reference
+discovers per-read equivalence classes dynamically (a dict keyed by
+transcript set in mapper.py); under XLA's static shapes we instead:
+
+  1. reduce each read to its SIGNATURE: the sorted distinct index-EC ids of
+     its k-mer hits, capped at C = max_ecs_per_read (two row-sorts);
+  2. fingerprint the signature to 64 bits (two uint32 lanes);
+  3. accumulate counts in a device-resident open-addressing table keyed by
+     fingerprint, claimed with a compare-and-swap-via-scatter protocol:
+     a lane scatters its key row into its probe slot, re-gathers, and only
+     the lane that observes its own key has won the slot — correct under
+     XLA's "one duplicate update wins whole-row" scatter semantics;
+  4. transcript-set intersections are resolved once per DISTINCT signature
+     on the host at finalize time (seekmer_tpu/map/driver.py), so host work
+     scales with signature diversity, not read count.
+
+The table stays on device across batches (donated argument), keeping the
+host out of the hot loop entirely.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hash import (
+    sig_fingerprint_init,
+    sig_fingerprint_step,
+    sig_slot_hash,
+)
+
+# Sentinel EC id padding signature rows (sorts after every real EC id).
+SIG_PAD = jnp.int32(0x7FFFFFFF)
+
+
+class SigTable(NamedTuple):
+    """Device signature->count open-addressing table (+1 dump row at the end
+    that absorbs scatters from inactive lanes)."""
+
+    key: jnp.ndarray  # int32[S+1, 2] fingerprint rows; (0, 0) = empty
+    count: jnp.ndarray  # int32[S+1]
+    sig: jnp.ndarray  # int32[S+1, C] claimed signature rows
+    overflow: jnp.ndarray  # int32[] reads lost to probe overflow
+
+
+def make_sig_table(bits: int, max_ecs: int) -> SigTable:
+    S = 1 << bits
+    return SigTable(
+        key=jnp.zeros((S + 1, 2), jnp.int32),
+        count=jnp.zeros(S + 1, jnp.int32),
+        sig=jnp.full((S + 1, max_ecs), SIG_PAD),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+
+
+def read_signatures(ecs: jnp.ndarray, valid: jnp.ndarray, max_ecs: int):
+    """Per-read sorted distinct EC ids, capped.
+
+    Args:
+      ecs: int32[B, P] per-position EC ids (-1 = miss/invalid).
+      valid: bool[B, P] position validity.
+      max_ecs: C, signature capacity.
+
+    Returns:
+      (sig, mapped): int32[B, C] sorted distinct ids padded with SIG_PAD;
+      bool[B] False where zero hits or > C distinct ids ("complex").
+    """
+    x = jnp.where(valid & (ecs >= 0), ecs, SIG_PAD)
+    s = jnp.sort(x, axis=1)
+    prev = jnp.concatenate([jnp.full_like(s[:, :1], -1), s[:, :-1]], axis=1)
+    is_new = (s != prev) & (s != SIG_PAD)
+    n_distinct = is_new.sum(axis=1)
+    distinct = jnp.where(is_new, s, SIG_PAD)
+    sig = jnp.sort(distinct, axis=1)[:, :max_ecs]
+    mapped = (n_distinct > 0) & (n_distinct <= max_ecs)
+    return sig, mapped
+
+
+def fingerprint(sig: jnp.ndarray):
+    """64-bit fingerprint of each signature row. Returns (fp1, fp2) int32[B];
+    the all-zero pair is remapped to (1, 0) so (0, 0) can mean 'empty slot'."""
+    h1, h2 = sig_fingerprint_init()
+    h1 = jnp.full(sig.shape[:1], h1, jnp.uint32)
+    h2 = jnp.full(sig.shape[:1], h2, jnp.uint32)
+    for c in range(sig.shape[1]):  # static unroll over C
+        h1, h2 = sig_fingerprint_step(h1, h2, sig[:, c].astype(jnp.uint32))
+    fp1 = h1.astype(jnp.int32)
+    fp2 = h2.astype(jnp.int32)
+    fp1 = jnp.where((fp1 == 0) & (fp2 == 0), jnp.int32(1), fp1)
+    return fp1, fp2
+
+
+def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
+               weights: jnp.ndarray | None = None,
+               sig_probe: int = 32) -> SigTable:
+    """Fold one batch of read signatures into the device table.
+
+    Batch-local dedup (lexicographic sort on fingerprints) leaves one active
+    lane per distinct signature carrying its batch count, then the CAS
+    protocol claims/locates slots. Donate ``table`` at the jit boundary for
+    in-place updates.
+    """
+    B, C = sig.shape
+    S = table.key.shape[0] - 1  # last row is the dump slot
+    dump = jnp.int32(S)
+    mask = jnp.uint32(S - 1)
+
+    fp1, fp2 = fingerprint(sig)
+    w = jnp.where(mapped, jnp.ones(B, jnp.int32) if weights is None else weights, 0)
+    # Unmapped lanes sort to the back and never activate.
+    fp1 = jnp.where(mapped, fp1, jnp.int32(0x7FFFFFFF))
+    fp2 = jnp.where(mapped, fp2, jnp.int32(0x7FFFFFFF))
+
+    operands = [fp1, fp2, w] + [sig[:, c] for c in range(C)]
+    sorted_ops = jax.lax.sort(operands, num_keys=2)
+    fp1s, fp2s, ws = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    sig_s = jnp.stack(sorted_ops[3:], axis=1)
+
+    first = jnp.ones(B, bool).at[1:].set(
+        (fp1s[1:] != fp1s[:-1]) | (fp2s[1:] != fp2s[:-1])
+    )
+    run_id = jnp.cumsum(first) - 1
+    run_counts = jax.ops.segment_sum(ws, run_id, num_segments=B)
+    cnt = run_counts[run_id]  # each run head carries its run's total weight
+    active0 = first & (cnt > 0)
+
+    home = (sig_slot_hash(fp1s.astype(jnp.uint32), fp2s.astype(jnp.uint32))
+            & mask).astype(jnp.int32)
+    keyrow = jnp.stack([fp1s, fp2s], axis=1)
+
+    def cond(state):
+        r, active, *_ = state
+        return (r < sig_probe) & jnp.any(active)
+
+    def body(state):
+        r, active, key, count, sigtab = state
+        slot = (home + r) & jnp.int32(S - 1)
+        rows = key[slot]
+        match = active & (rows[:, 0] == fp1s) & (rows[:, 1] == fp2s)
+        is_empty = (rows[:, 0] == 0) & (rows[:, 1] == 0)
+        try_claim = active & ~match & is_empty
+
+        claim_slot = jnp.where(try_claim, slot, dump)
+        key = key.at[claim_slot].set(keyrow)  # whole-row atomic on duplicates
+        rows2 = key[slot]
+        won = try_claim & (rows2[:, 0] == fp1s) & (rows2[:, 1] == fp2s)
+
+        resolved = match | won
+        add_slot = jnp.where(resolved, slot, dump)
+        count = count.at[add_slot].add(jnp.where(resolved, cnt, 0))
+        sig_slot = jnp.where(won, slot, dump)
+        sigtab = sigtab.at[sig_slot].set(sig_s)
+        return r + 1, active & ~resolved, key, count, sigtab
+
+    r, active, key, count, sigtab = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), active0, table.key, table.count, table.sig)
+    )
+    lost = jnp.where(active, cnt, 0).sum().astype(jnp.int32)
+    # Scrub any junk the loop scattered into the dump row.
+    key = key.at[dump].set(jnp.zeros(2, jnp.int32))
+    count = count.at[dump].set(0)
+    return SigTable(key=key, count=count, sig=sigtab,
+                    overflow=table.overflow + lost)
+
+
+def table_to_host(table: SigTable):
+    """Pull occupied rows to host: (sigs int32[U, C], counts int64[U])."""
+    count = np.asarray(table.count)
+    sig = np.asarray(table.sig)
+    occ = count > 0
+    return sig[occ], count[occ].astype(np.int64)

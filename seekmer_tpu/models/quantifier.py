@@ -1,0 +1,128 @@
+"""Quantifier: the end-to-end pipeline object (the framework's flagship
+"model": index -> pseudoalignment -> EM -> abundance table). Mirrors the
+reference's `seekmer infer` call stack (SURVEY.md 3.2) with the TPU device
+boundary described there: host ingest -> device map kernel -> device EM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..em import bootstrap as em_bootstrap
+from ..em.em import build_ec_table, run_em, tpm_from_alpha, effective_lengths
+from ..index.store import KMerIndex
+from ..io.fastq import ReadBatch, batch_read_pairs, batch_reads, read_fastq_many
+from ..map.driver import Mapper, MapResult, resolve_signatures
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class QuantResult:
+    est_counts: np.ndarray
+    tpm: np.ndarray
+    eff_length: np.ndarray
+    names: np.ndarray
+    lengths: np.ndarray
+    total_reads: int
+    mapped: int
+    unmapped: int
+    em_iterations: int
+    bootstrap_counts: Optional[np.ndarray] = None  # [B, T]
+    timings: Optional[Dict[str, float]] = None
+
+
+class Quantifier:
+    def __init__(self, index: KMerIndex, cfg: PipelineConfig = PipelineConfig()):
+        self.index = index
+        self.cfg = cfg
+        if cfg.em.use_x64:
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
+
+    def quantify_files(
+        self,
+        fastq_paths: List[str],
+        mate_paths: Optional[List[str]] = None,
+    ) -> QuantResult:
+        if mate_paths:
+            pairs = zip(
+                read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
+            )
+            batches = batch_read_pairs(pairs, self.cfg.map)
+        else:
+            batches = batch_reads(read_fastq_many(fastq_paths), self.cfg.map)
+        return self.quantify_batches(batches)
+
+    def quantify_reads(
+        self, reads: List[str], mates: Optional[List[str]] = None
+    ) -> QuantResult:
+        reads_b = [r.encode() if isinstance(r, str) else r for r in reads]
+        if mates is not None:
+            mates_b = [m.encode() if isinstance(m, str) else m for m in mates]
+            batches = batch_read_pairs(zip(reads_b, mates_b), self.cfg.map)
+        else:
+            batches = batch_reads(reads_b, self.cfg.map)
+        return self.quantify_batches(batches)
+
+    def quantify_batches(self, batches: Iterable[ReadBatch]) -> QuantResult:
+        t0 = time.perf_counter()
+        mapper = Mapper(self.index, self.cfg.map)
+        result = mapper.run(batches)
+        t_map = time.perf_counter() - t0
+        log.info(
+            "mapped %d/%d reads (%d distinct signatures, %d overflow)",
+            result.mapped, result.total_reads, result.sigs.shape[0],
+            result.overflow,
+        )
+        return self._infer(result, t_map)
+
+    def _infer(self, result: MapResult, t_map: float) -> QuantResult:
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        member_lists, counts, dropped = resolve_signatures(result, self.index)
+        t_resolve = time.perf_counter() - t0
+
+        em_cfg = self.cfg.em
+        dtype = jnp.float64 if em_cfg.use_x64 else jnp.float32
+        T = self.index.num_transcripts
+        ec = build_ec_table(member_lists, counts, T, dtype=dtype)
+        lengths = self.index.lengths
+
+        t0 = time.perf_counter()
+        alpha, iters = run_em(ec, lengths, em_cfg)
+        tpm = tpm_from_alpha(alpha, lengths, em_cfg)
+        alpha.block_until_ready()
+        t_em = time.perf_counter() - t0
+
+        boot = None
+        if em_cfg.bootstrap_samples > 0:
+            t0 = time.perf_counter()
+            boot = np.asarray(
+                em_bootstrap.run_bootstrap(ec, lengths, em_cfg)
+            )
+            log.info("bootstrap: %d replicates in %.2fs",
+                     em_cfg.bootstrap_samples, time.perf_counter() - t0)
+
+        eff = np.asarray(effective_lengths(jnp.asarray(lengths), em_cfg, dtype))
+        return QuantResult(
+            est_counts=np.asarray(alpha),
+            tpm=np.asarray(tpm),
+            eff_length=eff,
+            names=self.index.names,
+            lengths=lengths,
+            total_reads=result.total_reads,
+            mapped=result.mapped - dropped,
+            unmapped=result.unmapped + dropped,
+            em_iterations=int(iters),
+            bootstrap_counts=boot,
+            timings={"map_s": t_map, "resolve_s": t_resolve, "em_s": t_em},
+        )

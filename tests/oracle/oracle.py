@@ -1,0 +1,166 @@
+"""Pure-numpy float64 oracle for pseudoalignment + EM.
+
+This is the provisional golden reference mandated by SURVEY.md section 4
+item 1: the reference Seekmer source/outputs are unavailable (mount empty,
+SURVEY.md section 0), so the pipeline's semantics are pinned HERE in the
+simplest possible form (dicts, sets, float64) and the TPU device path must
+match it. If reference goldens become available, they replace this oracle's
+outputs in tests/golden/ (a one-file swap by design).
+
+Shared semantics (identical to the device path; see seekmer_tpu/config.py):
+  * a read's k-mer hits are looked up at EVERY valid position (no skipping
+    heuristic — SURVEY.md 7.4);
+  * read signature = sorted distinct index-EC ids of its hits; zero hits or
+    more than ``max_ecs_per_read`` distinct ids => unmapped;
+  * paired-end: signature = union over both mates; an empty mate is a
+    wildcard; both empty => unmapped [BASELINE.json:8];
+  * a signature's transcript set = intersection of its ECs' member sets;
+    empty intersection => read dropped at resolve time;
+  * EM in counts space with eff_len = max(len - mean_frag + 1, 1).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from seekmer_tpu import encoding as enc
+from seekmer_tpu.config import EMConfig, MapConfig
+from seekmer_tpu.index.store import KMerIndex
+
+
+def build_kmer_dict(index: KMerIndex) -> Dict[int, int]:
+    """key64 -> EC id from the index tables (both main and stash)."""
+    out: Dict[int, int] = {}
+    for table in (index.table, index.stash):
+        occ = table[:, 0] >= 0
+        keys = enc.join_key(table[occ, 0], table[occ, 1], index.k)
+        for key, ec in zip(keys.tolist(), table[occ, 2].tolist()):
+            out[key] = ec
+    return out
+
+
+def map_read(
+    codes: np.ndarray, kdict: Dict[int, int], k: int
+) -> set[int]:
+    """Distinct EC ids hit by a read's canonical k-mers."""
+    keys, valid = enc.canonical_kmers(codes, k)
+    ecs: set[int] = set()
+    for key in keys[valid].tolist():
+        ec = kdict.get(key)
+        if ec is not None:
+            ecs.add(ec)
+    return ecs
+
+
+def map_reads(
+    reads: List[str],
+    index: KMerIndex,
+    cfg: MapConfig,
+    mates: Optional[List[str]] = None,
+) -> Tuple[Counter, int]:
+    """Pseudoalign reads; returns (signature counter, unmapped count).
+
+    Signature key = sorted tuple of distinct EC ids.
+    """
+    kdict = build_kmer_dict(index)
+    sig_counts: Counter = Counter()
+    unmapped = 0
+    for i, read in enumerate(reads):
+        ecs = map_read(enc.seq_to_codes(read), kdict, index.k)
+        if mates is not None:
+            ecs |= map_read(enc.seq_to_codes(mates[i]), kdict, index.k)
+        if not ecs or len(ecs) > cfg.max_ecs_per_read:
+            unmapped += 1
+            continue
+        sig_counts[tuple(sorted(ecs))] += 1
+    return sig_counts, unmapped
+
+
+def resolve_signatures(
+    sig_counts: Counter, index: KMerIndex
+) -> Tuple[List[np.ndarray], np.ndarray, int]:
+    """Signatures -> final ECs (distinct transcript sets) with counts.
+
+    Returns (member_lists, counts, dropped) where dropped counts reads whose
+    EC intersection is empty.
+    """
+    agg: Dict[tuple, int] = {}
+    dropped = 0
+    for sig, n in sig_counts.items():
+        members = index.ec_members(sig[0])
+        for ec in sig[1:]:
+            members = np.intersect1d(members, index.ec_members(ec))
+        if members.size == 0:
+            dropped += n
+            continue
+        key = tuple(members.tolist())
+        agg[key] = agg.get(key, 0) + n
+    member_lists = [np.array(k, dtype=np.int32) for k in agg]
+    counts = np.array(list(agg.values()), dtype=np.float64)
+    return member_lists, counts, dropped
+
+
+def effective_lengths(lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:
+    return np.maximum(
+        lengths.astype(np.float64) - cfg.mean_fragment_length + 1.0, 1.0
+    )
+
+
+def run_em(
+    member_lists: List[np.ndarray],
+    counts: np.ndarray,
+    lengths: np.ndarray,
+    cfg: EMConfig,
+) -> Tuple[np.ndarray, int]:
+    """Counts-space EM to convergence. Returns (alpha, iterations)."""
+    T = lengths.shape[0]
+    eff = effective_lengths(lengths, cfg)
+    N = counts.sum()
+    alpha = np.full(T, N / T if T else 0.0, dtype=np.float64)
+    it = 0
+    for it in range(1, cfg.max_iters + 1):
+        alpha_new = np.zeros(T, dtype=np.float64)
+        for members, n in zip(member_lists, counts):
+            w = alpha[members] / eff[members]
+            s = w.sum()
+            if s > 0:
+                alpha_new[members] += n * (w / s)
+        if it >= cfg.min_iters:
+            active = alpha_new > cfg.count_floor
+            rel = np.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+            if not active.any() or rel[active].max() < cfg.rel_tol:
+                alpha = alpha_new
+                break
+        alpha = alpha_new
+    return alpha, it
+
+
+def tpm_from_alpha(alpha: np.ndarray, lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:
+    eff = effective_lengths(lengths, cfg)
+    rate = np.where(alpha > 0, alpha / eff, 0.0)
+    s = rate.sum()
+    return np.where(s > 0, 1e6 * rate / s, 0.0)
+
+
+def quantify(
+    reads: List[str],
+    index: KMerIndex,
+    map_cfg: MapConfig = MapConfig(),
+    em_cfg: EMConfig = EMConfig(),
+    mates: Optional[List[str]] = None,
+) -> Dict[str, np.ndarray]:
+    """Full oracle pipeline: reads -> est_counts/TPM table."""
+    sig_counts, unmapped = map_reads(reads, index, map_cfg, mates=mates)
+    member_lists, counts, dropped = resolve_signatures(sig_counts, index)
+    alpha, iters = run_em(member_lists, counts, index.lengths, em_cfg)
+    return {
+        "est_counts": alpha,
+        "tpm": tpm_from_alpha(alpha, index.lengths, em_cfg),
+        "eff_length": effective_lengths(index.lengths, em_cfg),
+        "unmapped": unmapped + dropped,
+        "em_iterations": iters,
+        "sig_counts": sig_counts,
+    }

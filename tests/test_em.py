@@ -1,0 +1,100 @@
+"""EM inference tests: hand-solvable fixed points, oracle parity, bootstrap
+(SURVEY.md section 4 item 2)."""
+
+import jax
+import numpy as np
+import pytest
+
+from seekmer_tpu.config import EMConfig
+from seekmer_tpu.em import bootstrap as bs
+from seekmer_tpu.em.em import build_ec_table, run_em, tpm_from_alpha
+from tests.oracle import oracle
+
+F64 = EMConfig(use_x64=False)  # device runs f32 by default; oracle is f64
+
+
+def test_unique_ecs_are_exact():
+    """Every EC has one member -> EM must return raw counts immediately."""
+    members = [np.array([0]), np.array([1]), np.array([2])]
+    counts = np.array([10.0, 30.0, 60.0])
+    lengths = np.array([500, 500, 500], np.int32)
+    ec = build_ec_table(members, counts, 3)
+    alpha, it = run_em(ec, lengths, EMConfig())
+    np.testing.assert_allclose(np.asarray(alpha), counts, rtol=1e-6)
+
+
+def test_two_transcript_split_by_length():
+    """One shared EC over two transcripts: EM splits by effective length.
+
+    Fixed point of alpha_t = n * (a_t/l_t) / sum(a/l) with equal priors is
+    degenerate (any split is a fixed point when only one EC exists), so add
+    unique ECs to anchor: n_unique gives the analytic solution."""
+    members = [np.array([0]), np.array([1]), np.array([0, 1])]
+    counts = np.array([90.0, 10.0, 100.0])
+    lengths = np.array([1199, 1199], np.int32)  # eff 1000 each
+    ec = build_ec_table(members, counts, 2)
+    alpha, _ = run_em(ec, lengths, EMConfig(rel_tol=1e-8, max_iters=5000))
+    alpha = np.asarray(alpha)
+    # oracle solves the same system in float64
+    o_alpha, _ = oracle.run_em(members, counts, lengths,
+                               EMConfig(rel_tol=1e-8, max_iters=5000))
+    np.testing.assert_allclose(alpha, o_alpha, rtol=1e-4)
+    # shared reads go ~90/10 at the fixed point (proportional to unique evidence)
+    assert alpha[0] > alpha[1]
+    np.testing.assert_allclose(alpha.sum(), 200.0, rtol=1e-5)
+
+
+def test_em_matches_oracle_random(rng):
+    T, E = 50, 120
+    lengths = rng.integers(250, 3000, size=T).astype(np.int32)
+    members = []
+    for _ in range(E):
+        size = int(rng.integers(1, 6))
+        members.append(np.sort(rng.choice(T, size=size, replace=False)).astype(np.int32))
+    counts = rng.integers(1, 500, size=E).astype(np.float64)
+    cfg = EMConfig(rel_tol=1e-6, max_iters=2000)
+    o_alpha, o_it = oracle.run_em(members, counts, lengths, cfg)
+    ec = build_ec_table(members, counts, T)
+    alpha, it = run_em(ec, lengths, cfg)
+    np.testing.assert_allclose(np.asarray(alpha), o_alpha, rtol=5e-3, atol=1e-3)
+    # TPM parity
+    o_tpm = oracle.tpm_from_alpha(o_alpha, lengths, cfg)
+    tpm = np.asarray(tpm_from_alpha(alpha, lengths, cfg))
+    np.testing.assert_allclose(tpm, o_tpm, rtol=5e-3, atol=1e-2)
+
+
+def test_effective_length_floor():
+    cfg = EMConfig(mean_fragment_length=200.0)
+    lengths = np.array([100, 199, 200, 1000], np.int32)
+    eff = oracle.effective_lengths(lengths, cfg)
+    np.testing.assert_allclose(eff, [1.0, 1.0, 1.0, 801.0])
+
+
+def test_bootstrap_shapes_and_mass(rng):
+    T, E, B = 20, 40, 16
+    lengths = rng.integers(300, 2000, size=T).astype(np.int32)
+    members = [np.sort(rng.choice(T, size=int(rng.integers(1, 4)),
+                                  replace=False)).astype(np.int32)
+               for _ in range(E)]
+    counts = rng.integers(1, 100, size=E).astype(np.float64)
+    cfg = EMConfig(bootstrap_samples=B, bootstrap_seed=7)
+    ec = build_ec_table(members, counts, T)
+    boot = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
+    assert boot.shape == (B, T)
+    # each replicate conserves total read mass
+    np.testing.assert_allclose(boot.sum(axis=1), counts.sum(), rtol=1e-4)
+    # replicates differ (resampling actually happened)
+    assert np.std(boot, axis=0).max() > 0
+
+
+def test_bootstrap_deterministic_seed(rng):
+    T, E = 10, 15
+    lengths = rng.integers(300, 2000, size=T).astype(np.int32)
+    members = [np.sort(rng.choice(T, size=2, replace=False)).astype(np.int32)
+               for _ in range(E)]
+    counts = rng.integers(1, 50, size=E).astype(np.float64)
+    cfg = EMConfig(bootstrap_samples=4, bootstrap_seed=42)
+    ec = build_ec_table(members, counts, T)
+    b1 = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
+    b2 = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
+    np.testing.assert_array_equal(b1, b2)

@@ -1,0 +1,165 @@
+"""Device mapping path vs oracle: packing, probing, signatures, accumulation
+(SURVEY.md section 4 items 2-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seekmer_tpu import encoding as enc
+from seekmer_tpu.config import IndexConfig, MapConfig
+from seekmer_tpu.index.build import build_index_from_seqs
+from seekmer_tpu.io.fastq import batch_reads
+from seekmer_tpu.map.driver import Mapper
+from seekmer_tpu.map.signature import (
+    SIG_PAD,
+    accumulate,
+    fingerprint,
+    make_sig_table,
+    read_signatures,
+    table_to_host,
+)
+from seekmer_tpu.ops.kmer_pack import pack_canonical
+from seekmer_tpu.ops.probe import lookup_ecs
+from seekmer_tpu.utils.simulate import random_transcriptome, simulate_reads
+from tests.oracle import oracle
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(99)
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=40, min_len=150, max_len=800,
+        shared_prefix_frac=0.6,
+    )
+    index = build_index_from_seqs(names, seqs, cfg=IndexConfig())
+    sim = simulate_reads(rng, seqs, num_reads=500, read_len=100,
+                         error_rate=0.01)
+    return index, seqs, sim
+
+
+def test_pack_canonical_matches_host(rng):
+    k = 25
+    B, L = 8, 64
+    seqs = []
+    for _ in range(B):
+        s = "".join(rng.choice(list("ACGTN"), size=L, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        seqs.append(s)
+    codes = np.stack([enc.seq_to_codes(s) for s in seqs])
+    lengths = np.full(B, L, np.int32)
+    lengths[0] = 40  # short read: tail positions invalid
+    hi, lo, valid = jax.jit(pack_canonical, static_argnums=2)(
+        jnp.asarray(codes), jnp.asarray(lengths), k
+    )
+    hi, lo, valid = map(np.asarray, (hi, lo, valid))
+    for b in range(B):
+        keys, v_host = enc.canonical_kmers(codes[b, : lengths[b]], k)
+        P_host = lengths[b] - k + 1
+        assert (valid[b, :P_host] == v_host).all()
+        assert not valid[b, P_host:].any()
+        h_host, l_host = enc.split_key(keys, k)
+        ok = v_host
+        assert (hi[b, :P_host][ok] == h_host[ok]).all()
+        assert (lo[b, :P_host][ok] == l_host[ok]).all()
+
+
+def test_lookup_matches_dict(setup):
+    index, seqs, sim = setup
+    kdict = oracle.build_kmer_dict(index)
+    k = index.k
+    reads = sim.reads1[:64]
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), 4, np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        c = enc.seq_to_codes(r)
+        codes[i, : c.size] = c
+        lengths[i] = c.size
+    hi, lo, valid = pack_canonical(jnp.asarray(codes), jnp.asarray(lengths), k)
+    ecs = lookup_ecs(hi, lo, valid, jnp.asarray(index.table),
+                     index.main_slots, index.main_probe,
+                     jnp.asarray(index.stash), index.stash_slots,
+                     index.stash_probe)
+    ecs = np.asarray(ecs)
+    valid = np.asarray(valid)
+    for i, r in enumerate(reads):
+        keys, v = enc.canonical_kmers(enc.seq_to_codes(r), k)
+        for p in range(keys.size):
+            if not v[p]:
+                continue
+            expect = kdict.get(int(keys[p]), -1)
+            assert ecs[i, p] == expect, (i, p)
+
+
+def test_read_signatures_basic():
+    ecs = jnp.asarray(
+        np.array([
+            [3, 1, 3, -1, 1],     # distinct {1,3}
+            [-1, -1, -1, -1, -1],  # no hits -> unmapped
+            [5, 5, 5, 5, 5],       # single EC
+            [0, 1, 2, 3, 4],       # 5 distinct > C=3 -> complex/unmapped
+        ], np.int32)
+    )
+    valid = jnp.asarray(np.array([
+        [1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 1],
+        [1, 1, 1, 1, 0],
+        [1, 1, 1, 1, 1],
+    ], bool))
+    sig, mapped = read_signatures(ecs, valid, max_ecs=3)
+    sig, mapped = np.asarray(sig), np.asarray(mapped)
+    assert mapped.tolist() == [True, False, True, False]
+    assert sig[0].tolist() == [1, 3, int(SIG_PAD)]
+    assert sig[2].tolist() == [5, int(SIG_PAD), int(SIG_PAD)]
+
+
+def test_accumulate_matches_counter(rng):
+    """Device signature table == Python Counter over many random batches."""
+    C = 4
+    # 512 slots vs <= 298 possible distinct signatures: high load pressure
+    # (collision chains) without overflow.
+    table = make_sig_table(bits=9, max_ecs=C)
+    from collections import Counter
+
+    truth = Counter()
+    acc = jax.jit(accumulate, static_argnames=("sig_probe",),
+                  donate_argnums=(0,))
+    for _ in range(5):
+        B = 256
+        n_ecs = rng.integers(0, 4, size=B)
+        sig = np.full((B, C), int(SIG_PAD), np.int32)
+        for i in range(B):
+            ids = np.sort(rng.choice(12, size=n_ecs[i], replace=False))
+            sig[i, : ids.size] = ids
+        mapped = n_ecs > 0
+        weights = (rng.random(B) < 0.9).astype(np.int32)  # some pad rows
+        for i in range(B):
+            if mapped[i] and weights[i]:
+                truth[tuple(sig[i][sig[i] != int(SIG_PAD)].tolist())] += 1
+        table = acc(table, jnp.asarray(sig), jnp.asarray(mapped),
+                    weights=jnp.asarray(weights), sig_probe=256)
+    sigs, counts = table_to_host(table)
+    got = Counter()
+    for row, n in zip(sigs, counts):
+        got[tuple(row[row != int(SIG_PAD)].tolist())] += int(n)
+    assert int(table.overflow) == 0
+    assert got == truth
+
+
+def test_mapper_matches_oracle(setup):
+    """End-to-end mapping (batched, padded, device tables) == oracle dicts."""
+    index, seqs, sim = setup
+    cfg = MapConfig(batch_size=128, max_ecs_per_read=8, sig_table_bits=12)
+    mapper = Mapper(index, cfg)
+    reads_b = [r.encode() for r in sim.reads1]
+    result = mapper.run(batch_reads(reads_b, cfg))
+
+    o_sigs, o_unmapped = oracle.map_reads(sim.reads1, index, cfg)
+    assert result.total_reads == len(sim.reads1)
+    assert result.overflow == 0
+    assert result.unmapped == o_unmapped
+
+    got = {}
+    for row, n in zip(result.sigs, result.sig_counts):
+        got[tuple(row[row != int(SIG_PAD)].tolist())] = int(n)
+    assert got == dict(o_sigs)

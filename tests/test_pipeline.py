@@ -1,0 +1,108 @@
+"""End-to-end pipeline tests: CLI + Quantifier vs oracle on simulated data —
+the config-1 golden-parity harness (SURVEY.md section 4 item 1, BASELINE
+config 1: single-end reads, ~1k-transcript-scale subset, k=25)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from seekmer_tpu.config import EMConfig, MapConfig, PipelineConfig
+from seekmer_tpu.index.build import build_index_from_seqs
+from seekmer_tpu.io.writer import read_abundance
+from seekmer_tpu.models.quantifier import Quantifier
+from seekmer_tpu.utils.simulate import (
+    random_transcriptome,
+    simulate_reads,
+    write_fasta,
+    write_fastq,
+)
+from tests.oracle import oracle
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(2024)
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=60, min_len=300, max_len=1500,
+        shared_prefix_frac=0.5,
+    )
+    index = build_index_from_seqs(names, seqs)
+    sim = simulate_reads(rng, seqs, num_reads=2000, read_len=100,
+                         error_rate=0.005)
+    return names, seqs, index, sim
+
+
+def test_quantifier_matches_oracle_single_end(world):
+    names, seqs, index, sim = world
+    map_cfg = MapConfig(batch_size=256, sig_table_bits=14)
+    em_cfg = EMConfig(rel_tol=1e-6, max_iters=2000)
+    cfg = PipelineConfig().replace(map=map_cfg, em=em_cfg)
+
+    q = Quantifier(index, cfg)
+    res = q.quantify_reads(sim.reads1)
+    o = oracle.quantify(sim.reads1, index, map_cfg, em_cfg)
+
+    assert res.total_reads == len(sim.reads1)
+    assert res.unmapped == o["unmapped"]
+    np.testing.assert_allclose(res.est_counts, o["est_counts"],
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(res.tpm, o["tpm"], rtol=5e-3, atol=5e-1)
+    # counts roughly track simulation ground truth on mapped mass
+    true_counts = np.bincount(sim.true_transcript, minlength=len(names))
+    corr = np.corrcoef(res.est_counts, true_counts)[0, 1]
+    assert corr > 0.95, f"est_counts poorly correlated with truth: {corr}"
+
+
+def test_quantifier_paired_end_matches_oracle(world):
+    names, seqs, index, _ = world
+    rng = np.random.default_rng(77)
+    sim = simulate_reads(rng, seqs, num_reads=800, read_len=80, paired=True,
+                         mean_frag=220.0, error_rate=0.005)
+    map_cfg = MapConfig(batch_size=128, sig_table_bits=14, paired_end=True)
+    em_cfg = EMConfig(rel_tol=1e-6, mean_fragment_length=220.0)
+    cfg = PipelineConfig().replace(map=map_cfg, em=em_cfg)
+
+    q = Quantifier(index, cfg)
+    res = q.quantify_reads(sim.reads1, mates=sim.reads2)
+    o = oracle.quantify(sim.reads1, index, map_cfg, em_cfg, mates=sim.reads2)
+
+    assert res.unmapped == o["unmapped"]
+    np.testing.assert_allclose(res.est_counts, o["est_counts"],
+                               rtol=5e-3, atol=5e-2)
+
+
+def test_cli_end_to_end(tmp_path, world):
+    names, seqs, index, sim = world
+    fa = str(tmp_path / "ref.fa")
+    fq = str(tmp_path / "reads.fq.gz")
+    idx = str(tmp_path / "index.npz")
+    out = str(tmp_path / "quant")
+    write_fasta(fa, names, seqs)
+    write_fastq(fq, sim.reads1)
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "seekmer_tpu", "index", fa, idx],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "seekmer_tpu", "infer", idx, out, fq,
+         "--batch-size", "256", "--bootstrap", "8"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+
+    tab = read_abundance(out + "/abundance.tsv")
+    assert tab["target_id"].tolist() == list(names)
+    assert tab["est_counts"].sum() > 0
+    import json
+    info = json.load(open(out + "/run_info.json"))
+    assert info["total_reads"] == len(sim.reads1)
+    boot = np.load(out + "/bootstrap.npz")
+    assert boot["est_counts"].shape == (8, len(names))
