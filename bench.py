@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark driver: reads mapped/s/chip on the primary config
+(BASELINE.json:2 metrics; config-1-scale single-end workload by default).
+
+Prints ONE JSON line:
+  {"metric": "reads_mapped_per_s_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": R, "extra": {...}}
+
+vs_baseline: the project target is >= 10x a single-CPU-core mapper
+[BASELINE.json:5]; no published reference numbers exist (BASELINE.md — the
+reference mount is empty, SURVEY.md section 0). We therefore measure a
+single-core CPU baseline in-process (the numpy/dict oracle mapper over a
+sample of reads, the same algorithm class as the reference's Cython loop)
+and report vs_baseline = device_rps / (10 * cpu_rps): >= 1.0 means the 10x
+target is met against that measured stand-in.
+
+Timing protocol: the device step (pack -> probe -> signature -> accumulate)
+is fed pre-packed batches; one warmup batch triggers compilation, then N
+batches are timed end-to-end with a final block_until_ready on the donated
+signature table. Host FASTQ decode is excluded (it is pipelined/overlapped
+in production and measured separately in benchmarks/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", type=int, default=1000)
+    ap.add_argument("--reads-per-batch", type=int, default=65536)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--cpu-sample", type=int, default=2000)
+    ap.add_argument("--sig-table-bits", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from seekmer_tpu.config import EMConfig, MapConfig
+    from seekmer_tpu.em.em import build_ec_table, run_em, tpm_from_alpha
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.map.driver import Mapper, resolve_signatures
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.utils.simulate import (
+        random_transcriptome,
+        simulate_packed_batches,
+    )
+    from tests.oracle import oracle as orc
+
+    rng = np.random.default_rng(12345)
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+    log(f"[bench] devices: {jax.devices()}")
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=args.transcripts, min_len=300, max_len=3000,
+        shared_prefix_frac=0.5,
+    )
+    t0 = time.perf_counter()
+    index = build_index_from_seqs(names, seqs)
+    log(f"[bench] index: {index.num_kmers} kmers, {index.num_ecs} ECs "
+        f"in {time.perf_counter() - t0:.1f}s")
+
+    B, L = args.reads_per_batch, args.read_len
+    codes, true_counts = simulate_packed_batches(
+        rng, seqs, args.batches + 1, B, read_len=L)
+    lengths = np.full(B, L, np.int32)
+    weights = np.ones(B, np.int32)
+
+    cfg = MapConfig(batch_size=B, sig_table_bits=args.sig_table_bits)
+    mapper = Mapper(index, cfg)
+
+    def batch(i):
+        return ReadBatch(codes=codes[i], lengths=lengths, weights=weights)
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    mapper.feed(batch(0))
+    jax.block_until_ready(mapper.table)
+    log(f"[bench] warmup (compile) {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(1, args.batches + 1):
+        mapper.feed(batch(i))
+    jax.block_until_ready(mapper.table)
+    dt = time.perf_counter() - t0
+    n_reads = args.batches * B
+    device_rps = n_reads / dt
+    log(f"[bench] mapped {n_reads} reads in {dt:.2f}s -> "
+        f"{device_rps:,.0f} reads/s/chip")
+
+    # quantification tail (resolve + EM) and TPM error vs float64 oracle EM
+    result = mapper.finalize()
+    members, counts, _ = resolve_signatures(result, index)
+    em_cfg = EMConfig(rel_tol=1e-6, max_iters=2000)
+    ec = build_ec_table(members, counts, index.num_transcripts)
+    t0 = time.perf_counter()
+    alpha, iters = run_em(ec, index.lengths, em_cfg)
+    jax.block_until_ready(alpha)
+    em_dt = time.perf_counter() - t0
+    em_it_s = int(iters) / em_dt
+    tpm = np.asarray(tpm_from_alpha(alpha, index.lengths, em_cfg))
+    o_alpha, _ = orc.run_em(members, counts, index.lengths, em_cfg)
+    o_tpm = orc.tpm_from_alpha(o_alpha, index.lengths, em_cfg)
+    tpm_err = float(np.abs(tpm - o_tpm).max())
+    log(f"[bench] EM: {int(iters)} iters in {em_dt:.2f}s "
+        f"({em_it_s:,.0f} it/s); TPM max-abs-err vs f64 oracle: {tpm_err:.3g}")
+
+    # single-CPU-core baseline (oracle mapper, same algorithm class as the
+    # reference's single-threaded Cython inner loop)
+    sample = codes[0][: args.cpu_sample]
+    kdict = orc.build_kmer_dict(index)
+    from seekmer_tpu.encoding import codes_to_seq
+
+    t0 = time.perf_counter()
+    for row in sample:
+        orc.map_read(row, kdict, index.k)
+    cpu_dt = time.perf_counter() - t0
+    cpu_rps = args.cpu_sample / cpu_dt
+    log(f"[bench] CPU 1-core oracle: {cpu_rps:,.0f} reads/s")
+
+    vs_baseline = device_rps / (10.0 * cpu_rps)
+    print(json.dumps({
+        "metric": "reads_mapped_per_s_per_chip",
+        "value": round(device_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": {
+            "em_iterations_per_s": round(em_it_s, 1),
+            "tpm_max_abs_err_vs_f64_oracle": tpm_err,
+            "cpu_1core_reads_per_s": round(cpu_rps, 1),
+            "mapped_fraction": result.mapped / max(result.total_reads, 1),
+            "n_reads": n_reads,
+            "n_transcripts": args.transcripts,
+            "read_len": L,
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

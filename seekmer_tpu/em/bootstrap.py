@@ -29,17 +29,15 @@ def resample_counts(key, counts, num_samples: int):
     return jax.vmap(draw)(keys).astype(counts.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
-)
-def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
-                   num_transcripts, cfg: EMConfig):
+def bootstrap_core(counts, ec_ids, txp_ids, lengths, key, n_replicates: int,
+                   num_ecs: int, num_transcripts: int, cfg: EMConfig):
+    """Resample + batched EM for ``n_replicates`` replicates (shared by the
+    single-chip jit below and the sharded wrapper in parallel/)."""
     dtype = counts.dtype
     eff = effective_lengths(lengths, cfg, dtype)
-    key = jax.random.PRNGKey(cfg.bootstrap_seed)
-    cmat = resample_counts(key, counts, cfg.bootstrap_samples)  # [B, E]
+    cmat = resample_counts(key, counts, n_replicates)  # [B, E]
 
-    B, T = cfg.bootstrap_samples, num_transcripts
+    B, T = n_replicates, num_transcripts
     n_per = cmat.sum(axis=1, keepdims=True)
     alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype)
 
@@ -65,6 +63,17 @@ def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
         cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
     )
     return alpha, it
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
+)
+def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
+                   num_transcripts, cfg: EMConfig):
+    key = jax.random.PRNGKey(cfg.bootstrap_seed)
+    return bootstrap_core(counts, ec_ids, txp_ids, lengths, key,
+                          cfg.bootstrap_samples, num_ecs, num_transcripts,
+                          cfg)
 
 
 def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):

@@ -36,17 +36,23 @@ from .signature import (
 log = logging.getLogger(__name__)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceIndex:
-    """Index tables resident on device (or sharded across a mesh)."""
+    """Index tables resident on device (or sharded across a mesh).
+
+    A registered pytree: the table arrays are children, the geometry ints
+    are static aux data, so a DeviceIndex flows through jit / shard_map
+    boundaries and sharding annotations directly.
+    """
 
     table: jnp.ndarray
     stash: jnp.ndarray
-    main_slots: int
-    main_probe: int
-    stash_slots: int
-    stash_probe: int
-    k: int
+    main_slots: int = dataclasses.field(metadata=dict(static=True))
+    main_probe: int = dataclasses.field(metadata=dict(static=True))
+    stash_slots: int = dataclasses.field(metadata=dict(static=True))
+    stash_probe: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
 
     @classmethod
     def from_host(cls, index: KMerIndex, device=None) -> "DeviceIndex":

@@ -1,0 +1,101 @@
+"""P5 — pod-wide collective EM (SURVEY.md 2.2): the EM fixed point as one
+`lax.while_loop` whose E-step work is sharded over the mesh and reduced with
+`psum` every iteration [BASELINE.json:5].
+
+Sharding layout: the flat EC-membership arrays (the nnz axis of em.ECTable)
+are split evenly across chips; alpha, eff and the per-EC denominators stay
+replicated. Each iteration does two psums over ICI: the (E,) partial
+denominators and the (T,) partial alpha updates. The convergence predicate
+is computed on the replicated alpha, so every chip exits in lockstep.
+
+The reference's EM is a single-process numpy loop (infer.py, SURVEY.md 3.4);
+this subsystem has no reference counterpart by design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EMConfig, ShardConfig
+from ..em.em import ECTable, effective_lengths
+
+
+def shard_ec_table(ec: ECTable, n_shards: int) -> ECTable:
+    """Pad the nnz axis to a multiple of n_shards (pad entries point at a
+    synthetic zero-count EC, so they are inert)."""
+    nnz = int(ec.txp_ids.shape[0])
+    pad_to = -(-max(nnz, 1) // n_shards) * n_shards
+    if pad_to == nnz:
+        return ec
+    pad = pad_to - nnz
+    E = ec.num_ecs
+    counts = jnp.concatenate([ec.counts, jnp.zeros(1, ec.counts.dtype)])
+    ec_ids = jnp.concatenate([ec.ec_ids, jnp.full(pad, E, jnp.int32)])
+    txp_ids = jnp.concatenate([ec.txp_ids, jnp.zeros(pad, jnp.int32)])
+    return ECTable(counts, ec_ids, txp_ids, E + 1, ec.num_transcripts)
+
+
+def run_em_collective(
+    ec: ECTable,
+    lengths,
+    cfg: EMConfig,
+    mesh: Mesh,
+    shard_cfg: ShardConfig = ShardConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EM to convergence with the membership axis sharded over the mesh's
+    data axis. Returns (alpha float[T], iterations)."""
+    axis = shard_cfg.data_axis_name
+    n_shards = mesh.shape[axis]
+    ec = shard_ec_table(ec, n_shards)
+    E, T = ec.num_ecs, ec.num_transcripts
+    dtype = ec.counts.dtype
+
+    nnz_spec = P(axis)
+    rep = P()
+
+    def em_collective(counts, ec_ids, txp_ids, lengths):
+        eff = effective_lengths(lengths, cfg, dtype)
+        N = counts.sum()
+        alpha0 = jnp.full((T,), N / T, dtype=dtype)
+
+        def one_iter(alpha):
+            w = alpha[txp_ids] / eff[txp_ids]
+            denom_part = jax.ops.segment_sum(w, ec_ids, num_segments=E)
+            denom = jax.lax.psum(denom_part, axis)
+            d = denom[ec_ids]
+            r = jnp.where(d > 0, counts[ec_ids] * w / d, 0.0)
+            part = jax.ops.segment_sum(r, txp_ids, num_segments=T)
+            return jax.lax.psum(part, axis)
+
+        def cond(state):
+            it, converged, _ = state
+            return (~converged | (it < cfg.min_iters)) & (it < cfg.max_iters)
+
+        def body(state):
+            it, _, alpha = state
+            alpha_new = one_iter(alpha)
+            active = alpha_new > cfg.count_floor
+            rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+            converged = jnp.where(active, rel, 0.0).max() < cfg.rel_tol
+            return it + 1, converged, alpha_new
+
+        it, _, alpha = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
+        )
+        return alpha, it
+
+    sm = jax.shard_map(
+        em_collective,
+        mesh=mesh,
+        in_specs=(rep, nnz_spec, nnz_spec, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    fn = jax.jit(sm)
+    return fn(ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths))

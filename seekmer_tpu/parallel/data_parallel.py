@@ -1,0 +1,163 @@
+"""P1 — data-parallel mapping over the `reads` mesh axis (SURVEY.md 2.2).
+
+The reference's only parallelism is a single-host worker pool merging
+per-worker EC count dicts (mapper.py, SURVEY.md 2.1 C6). The TPU design
+shards each global read batch over the mesh: every chip runs the full map
+step (pack -> probe -> signature) on its shard against a REPLICATED k-mer
+index and accumulates into its own device-resident signature table
+[BASELINE.json:9]. Tables are merged once at finalize time (the analog of
+the reference's join-time dict merge — merging counts per distinct
+signature, not per read).
+
+Multi-host: each process feeds its local shard of the global batch
+(jax.make_array_from_process_local_data) and the same jitted step runs
+SPMD; mesh.py/init_distributed brings up the process group (P6).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MapConfig, ShardConfig
+from ..index.store import KMerIndex
+from ..io.fastq import ReadBatch
+from ..map.driver import DeviceIndex, MapResult, map_step
+from ..map.signature import SigTable, make_sig_table
+from .mesh import make_mesh
+
+log = logging.getLogger(__name__)
+
+
+def _shard_spec(mesh: Mesh, cfg: ShardConfig, *axis):
+    return NamedSharding(mesh, P(*axis))
+
+
+class DataParallelMapper:
+    """Shards read batches over the `reads` mesh axis; per-chip signature
+    tables merged at finalize."""
+
+    def __init__(
+        self,
+        index: KMerIndex,
+        cfg: MapConfig = MapConfig(),
+        shard_cfg: ShardConfig = ShardConfig(),
+        mesh: Mesh = None,
+    ):
+        self.index = index
+        self.cfg = cfg
+        self.shard_cfg = shard_cfg
+        self.mesh = mesh if mesh is not None else make_mesh(shard_cfg)
+        self.n_shards = self.mesh.shape[shard_cfg.data_axis_name]
+        if cfg.batch_size % self.n_shards:
+            raise ValueError(
+                f"global batch {cfg.batch_size} not divisible by "
+                f"{self.n_shards} data shards")
+
+        rep = _shard_spec(self.mesh, shard_cfg)
+        self.device_index = DeviceIndex(
+            table=jax.device_put(index.table, rep),
+            stash=jax.device_put(index.stash, rep),
+            main_slots=index.main_slots,
+            main_probe=index.main_probe,
+            stash_slots=index.stash_slots,
+            stash_probe=index.stash_probe,
+            k=index.k,
+        )
+        # Per-chip tables, materialized as one global array sharded on dim 0:
+        # chip d owns rows [d*(S+1), (d+1)*(S+1)).
+        data = _shard_spec(self.mesh, shard_cfg, shard_cfg.data_axis_name)
+        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        self.table = SigTable(
+            key=jax.device_put(
+                jnp.tile(local.key, (self.n_shards, 1)), data),
+            count=jax.device_put(
+                jnp.tile(local.count, (self.n_shards,)), data),
+            sig=jax.device_put(
+                jnp.tile(local.sig, (self.n_shards, 1)), data),
+            overflow=jax.device_put(
+                jnp.zeros(self.n_shards, jnp.int32), data),
+        )
+        self.total_reads = 0
+        self._steps: Dict[Tuple[int, bool], callable] = {}
+
+    def _get_step(self, bucket: int, paired: bool):
+        key = (bucket, paired)
+        if key in self._steps:
+            return self._steps[key]
+        cfg, shard_cfg, mesh = self.cfg, self.shard_cfg, self.mesh
+        axis = shard_cfg.data_axis_name
+        dspec = P(axis)
+        rspec = P()
+        di_spec = DeviceIndex(
+            table=rspec, stash=rspec,
+            main_slots=self.index.main_slots, main_probe=self.index.main_probe,
+            stash_slots=self.index.stash_slots,
+            stash_probe=self.index.stash_probe, k=self.index.k,
+        )
+        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
+
+        def local_step(di, table, codes, lengths, weights,
+                       codes2=None, lengths2=None):
+            # overflow is per-shard: scalar inside, [1] outside
+            t = SigTable(table.key, table.count, table.sig,
+                         table.overflow[0])
+            t = map_step(di, cfg, t, codes, lengths, weights,
+                         codes2=codes2, lengths2=lengths2)
+            return SigTable(t.key, t.count, t.sig, t.overflow[None])
+
+        n_data = 5 + (2 if paired else 0)
+        sm = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(di_spec, tab_spec) + (dspec,) * (n_data - 2),
+            out_specs=tab_spec,
+            check_vma=False,
+        )
+        step = jax.jit(sm, donate_argnums=(1,))
+        self._steps[key] = step
+        return step
+
+    def feed(self, batch: ReadBatch) -> None:
+        paired = batch.codes2 is not None
+        step = self._get_step(batch.bucket, paired)
+        axis = self.shard_cfg.data_axis_name
+        dshard = _shard_spec(self.mesh, self.shard_cfg, axis)
+        put = functools.partial(jax.device_put, device=dshard)
+        args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
+        if paired:
+            args += [put(batch.codes2), put(batch.lengths2)]
+        self.table = step(self.device_index, self.table, *args)
+        self.total_reads += batch.n_real
+
+    def run(self, batches: Iterable[ReadBatch]) -> MapResult:
+        for b in batches:
+            self.feed(b)
+        return self.finalize()
+
+    def finalize(self) -> MapResult:
+        """Merge the per-chip signature tables host-side (the reference's
+        worker-join dict merge, over distinct signatures)."""
+        count = np.asarray(self.table.count)
+        sig = np.asarray(self.table.sig)
+        overflow = int(np.asarray(self.table.overflow).sum())
+        occ = count > 0
+        merged: Dict[tuple, int] = {}
+        for row, n in zip(sig[occ], count[occ]):
+            key = tuple(row.tolist())
+            merged[key] = merged.get(key, 0) + int(n)
+        sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
+            len(merged), sig.shape[1])
+        counts = np.array(list(merged.values()), dtype=np.int64)
+        mapped = int(counts.sum())
+        if overflow:
+            log.warning("%d reads lost to signature-table overflow", overflow)
+        return MapResult(sigs=sigs, sig_counts=counts,
+                         total_reads=self.total_reads, mapped=mapped,
+                         overflow=overflow)

@@ -1,0 +1,340 @@
+"""P2 — prefix-sharded k-mer index with all_to_all read routing
+(SURVEY.md 2.2, BASELINE config 4 [BASELINE.json:10]).
+
+The k-mer table is partitioned by the TOP bits of the slot hash (the "k-mer
+prefix" in hash space, giving near-perfectly balanced shards); each device
+holds 1/D of the table (the tensor/model-parallel analog for this workload,
+and the routing is expert-parallel-shaped: prefix owner = expert id,
+all_to_all dispatch/return).
+
+Per device step under shard_map (read batch sharded over BOTH mesh axes,
+index sharded over the `index` axis):
+
+  1. pack local reads' canonical k-mers; owner = top log2(D) hash bits;
+  2. sort lanes by owner, scatter into a (D, K) routing buffer (capacity
+     factor bounds K; overflow lanes are counted, not silently dropped);
+  3. lax.all_to_all along `index` dispatches queries to their owners;
+  4. owners probe their local table shard (same low-bit slot hash);
+  5. reverse all_to_all returns EC ids; unscatter to original lanes;
+  6. signature extraction + accumulation proceed exactly as in the
+     replicated-index path.
+
+No reference counterpart: the reference index is a single in-process hash
+table (SURVEY.md 2.1 C2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MapConfig, ShardConfig
+from ..encoding import split_key
+from ..index.build import _next_pow2, build_oa_table
+from ..index.store import EMPTY, KMerIndex
+from ..io.fastq import ReadBatch
+from ..map.driver import MapResult
+from ..map.signature import SigTable, accumulate, make_sig_table, read_signatures
+from ..ops.hash import hash_kmer, hash_kmer_stash
+from ..ops.kmer_pack import pack_canonical
+from ..ops.probe import _probe
+from .mesh import make_mesh
+
+log = logging.getLogger(__name__)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedDeviceIndex:
+    """Per-shard tables stacked on a leading axis sharded over `index`."""
+
+    table: jnp.ndarray  # int32[D, S_local + probe, 4]
+    stash: jnp.ndarray  # int32[D, S_stash + probe, 4]
+    main_slots: int = dataclasses.field(metadata=dict(static=True))
+    main_probe: int = dataclasses.field(metadata=dict(static=True))
+    stash_slots: int = dataclasses.field(metadata=dict(static=True))
+    stash_probe: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _occupied_keys(table: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    occ = table[:, 0] != EMPTY
+    return table[occ, 0], table[occ, 1], table[occ, 2]
+
+
+def shard_index_by_prefix(
+    index: KMerIndex, n_shards: int, load_factor: float = 0.5
+) -> ShardedDeviceIndex:
+    """Rebuild the flat index as n_shards prefix-partitioned sub-tables.
+
+    Owner of a key = top log2(n_shards) bits of its main slot hash, so the
+    same hash computed on device routes queries; the low bits address slots
+    within the owner's table (hash bits are independent).
+    """
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    hi1, lo1, v1 = _occupied_keys(index.table)
+    hi2, lo2, v2 = _occupied_keys(index.stash)
+    hi = np.concatenate([hi1, hi2])
+    lo = np.concatenate([lo1, lo2])
+    val = np.concatenate([v1, v2])
+
+    h = hash_kmer(hi.view(np.uint32), lo.view(np.uint32))
+    # n_shards = 2**b: owner = top b bits of the slot hash
+    b = int(np.log2(n_shards))
+    owner = (h >> np.uint32(32 - b)).astype(np.int64) if b else np.zeros(hi.size, np.int64)
+
+    max_n = max(int((owner == d).sum()) for d in range(n_shards)) if hi.size else 1
+    slots = _next_pow2(max(int(np.ceil(max_n / load_factor)), 16))
+    probe_cap = index.main_probe if index.main_probe > 0 else 16
+    probe_cap = max(probe_cap, 16)
+
+    tables, stashes = [], []
+    stash_slot_sizes = []
+    parts = []
+    for d in range(n_shards):
+        m = owner == d
+        t, mp, over = build_oa_table(hi[m], lo[m], val[m], slots, probe_cap,
+                                     hash_kmer)
+        s_hi, s_lo, s_val = hi[m][over], lo[m][over], val[m][over]
+        s_slots = _next_pow2(max(1024, int(np.ceil(max(s_hi.size, 1) / 0.25))))
+        while True:
+            st, sp, s_over = build_oa_table(
+                s_hi, s_lo, s_val, s_slots, probe_cap, hash_kmer_stash)
+            if not s_over.any():
+                break
+            s_slots *= 2
+        tables.append(t)
+        stashes.append(st)
+        stash_slot_sizes.append(s_slots)
+        parts.append(int(m.sum()))
+    log.info("prefix shards: %s keys/shard, %d slots each", parts, slots)
+
+    # uniform stash shapes across shards
+    s_slots = max(stash_slot_sizes)
+    for d in range(n_shards):
+        if stash_slot_sizes[d] != s_slots:
+            m = owner == d
+            _, _, over = build_oa_table(hi[m], lo[m], val[m], slots, probe_cap,
+                                        hash_kmer)
+            st, _, s_over = build_oa_table(
+                hi[m][over], lo[m][over], val[m][over], s_slots, probe_cap,
+                hash_kmer_stash)
+            assert not s_over.any()
+            stashes[d] = st
+
+    return ShardedDeviceIndex(
+        table=jnp.asarray(np.stack(tables)),
+        stash=jnp.asarray(np.stack(stashes)),
+        main_slots=slots,
+        main_probe=probe_cap,
+        stash_slots=s_slots,
+        stash_probe=probe_cap,
+        k=index.k,
+        n_shards=n_shards,
+    )
+
+
+def routed_lookup(hi, lo, valid, sdi: ShardedDeviceIndex, axis: str,
+                  capacity: int):
+    """Distributed EC lookup: dispatch (hi, lo) lanes to prefix owners along
+    ``axis``, probe the local shard, return results. Runs inside shard_map;
+    the local table block has a leading singleton axis.
+
+    Returns (ecs int32[B, P], n_routing_overflow int32[]).
+    """
+    B, Pp = hi.shape
+    N = B * Pp
+    D = sdi.n_shards
+    b = int(np.log2(D))
+    hi_f, lo_f, valid_f = hi.reshape(N), lo.reshape(N), valid.reshape(N)
+
+    h = hash_kmer(hi_f.astype(jnp.uint32), lo_f.astype(jnp.uint32))
+    owner = (h >> np.uint32(32 - b)).astype(jnp.int32) if b else jnp.zeros(N, jnp.int32)
+    owner = jnp.where(valid_f, owner, D)  # invalid lanes route nowhere
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    owner_s, hi_s, lo_s, idx_s = jax.lax.sort(
+        [owner, hi_f, lo_f, idx], num_keys=1)
+    # rank within owner group
+    pos = jnp.arange(N, dtype=jnp.int32)
+    first = jnp.ones(N, bool).at[1:].set(owner_s[1:] != owner_s[:-1])
+    group_start = jnp.where(first, pos, 0)
+    group_start = jax.lax.associative_scan(jnp.maximum, group_start)
+    rank = pos - group_start
+
+    K = capacity
+    ok = (rank < K) & (owner_s < D)
+    n_overflow = jnp.sum((rank >= K) & (owner_s < D)).astype(jnp.int32)
+
+    dump = D * K  # one dump row appended
+    dest = jnp.where(ok, owner_s * K + rank, dump)
+    send_hi = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(hi_s)
+    send_lo = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(lo_s)
+    send_valid = jnp.zeros(D * K + 1, bool).at[dest].set(ok)
+    ret_idx = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(idx_s)
+
+    shape = (D, K)
+    q_hi = jax.lax.all_to_all(send_hi[: D * K].reshape(shape), axis, 0, 0,
+                              tiled=True).reshape(D * K)
+    q_lo = jax.lax.all_to_all(send_lo[: D * K].reshape(shape), axis, 0, 0,
+                              tiled=True).reshape(D * K)
+    q_valid = jax.lax.all_to_all(send_valid[: D * K].reshape(shape), axis, 0,
+                                 0, tiled=True).reshape(D * K)
+
+    table = sdi.table[0]  # local shard (leading axis is singleton in shard_map)
+    stash = sdi.stash[0]
+    ec_main, resolved = _probe(q_hi, q_lo, q_valid, table, sdi.main_slots,
+                               sdi.main_probe, hash_kmer)
+    need_stash = q_valid & ~resolved
+    ec_stash, _ = _probe(q_hi, q_lo, need_stash, stash, sdi.stash_slots,
+                         sdi.stash_probe, hash_kmer_stash)
+    ec_q = jnp.where(resolved, ec_main, ec_stash)
+
+    ec_back = jax.lax.all_to_all(ec_q.reshape(shape), axis, 0, 0,
+                                 tiled=True).reshape(D * K)
+
+    # unscatter to original lane order
+    ecs = jnp.full(N + 1, -1, jnp.int32)
+    src = jnp.where(send_valid[: D * K], ret_idx[: D * K], N)
+    ecs = ecs.at[src].set(ec_back)
+    return ecs[:N].reshape(B, Pp), n_overflow
+
+
+class PrefixShardedMapper:
+    """Mapper for the prefix-sharded index mode (config 4): reads sharded
+    over both mesh axes, index sharded over `index`, queries routed with
+    all_to_all."""
+
+    def __init__(
+        self,
+        index: KMerIndex,
+        cfg: MapConfig = MapConfig(),
+        shard_cfg: ShardConfig = ShardConfig(index_mode="prefix"),
+        mesh: Mesh = None,
+        capacity_factor: float = 2.0,
+    ):
+        self.index = index
+        self.cfg = cfg
+        self.shard_cfg = shard_cfg
+        self.mesh = mesh if mesh is not None else make_mesh(shard_cfg)
+        self.n_index = self.mesh.shape[shard_cfg.index_axis_name]
+        self.n_data = self.mesh.shape[shard_cfg.data_axis_name]
+        self.n_dev = self.n_index * self.n_data
+        if cfg.batch_size % self.n_dev:
+            raise ValueError(
+                f"global batch {cfg.batch_size} not divisible by "
+                f"{self.n_dev} devices")
+        self.capacity_factor = capacity_factor
+
+        sdi_host = shard_index_by_prefix(index, self.n_index)
+        ispec = NamedSharding(self.mesh, P(shard_cfg.index_axis_name))
+        self.sdi = ShardedDeviceIndex(
+            table=jax.device_put(sdi_host.table, ispec),
+            stash=jax.device_put(sdi_host.stash, ispec),
+            main_slots=sdi_host.main_slots,
+            main_probe=sdi_host.main_probe,
+            stash_slots=sdi_host.stash_slots,
+            stash_probe=sdi_host.stash_probe,
+            k=sdi_host.k,
+            n_shards=sdi_host.n_shards,
+        )
+        both = (shard_cfg.data_axis_name, shard_cfg.index_axis_name)
+        self.both_axes = both
+        dspec = NamedSharding(self.mesh, P(both))
+        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        self.table = SigTable(
+            key=jax.device_put(jnp.tile(local.key, (self.n_dev, 1)), dspec),
+            count=jax.device_put(jnp.tile(local.count, (self.n_dev,)), dspec),
+            sig=jax.device_put(jnp.tile(local.sig, (self.n_dev, 1)), dspec),
+            overflow=jax.device_put(jnp.zeros(self.n_dev, jnp.int32), dspec),
+        )
+        self.total_reads = 0
+        self.routing_overflow = 0
+        self._steps: Dict[int, callable] = {}
+
+    def _get_step(self, bucket: int):
+        if bucket in self._steps:
+            return self._steps[bucket]
+        cfg, shard_cfg, mesh = self.cfg, self.shard_cfg, self.mesh
+        iaxis = shard_cfg.index_axis_name
+        both = self.both_axes
+        B_local = cfg.batch_size // self.n_dev
+        Pp = bucket - self.index.k + 1
+        lanes_local = B_local * Pp
+        K = int(np.ceil(lanes_local / self.n_index * self.capacity_factor))
+        sdi = self.sdi
+
+        def local_step(sdi, table, codes, lengths, weights):
+            t = SigTable(table.key, table.count, table.sig, table.overflow[0])
+            hi, lo, valid = pack_canonical(codes, lengths, sdi.k)
+            ecs, n_over = routed_lookup(hi, lo, valid, sdi, iaxis, K)
+            sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
+            t = accumulate(t, sig, mapped, weights=weights,
+                           sig_probe=cfg.sig_probe)
+            return (SigTable(t.key, t.count, t.sig, t.overflow[None]),
+                    n_over[None])
+
+        dspec = P(both)
+        rspec = P()
+        sdi_spec = ShardedDeviceIndex(
+            table=P(iaxis), stash=P(iaxis),
+            main_slots=sdi.main_slots, main_probe=sdi.main_probe,
+            stash_slots=sdi.stash_slots, stash_probe=sdi.stash_probe,
+            k=sdi.k, n_shards=sdi.n_shards,
+        )
+        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
+
+        sm = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(sdi_spec, tab_spec, dspec, dspec, dspec),
+            out_specs=(tab_spec, dspec),
+            check_vma=False,
+        )
+        step = jax.jit(sm, donate_argnums=(1,))
+        self._steps[bucket] = step
+        return step
+
+    def feed(self, batch: ReadBatch) -> None:
+        if batch.codes2 is not None:
+            raise NotImplementedError(
+                "paired-end + prefix-sharded: feed mates as separate batches")
+        step = self._get_step(batch.bucket)
+        dspec = NamedSharding(self.mesh, P(self.both_axes))
+        put = functools.partial(jax.device_put, device=dspec)
+        self.table, n_over = step(self.sdi, self.table, put(batch.codes),
+                                  put(batch.lengths), put(batch.weights))
+        self.total_reads += batch.n_real
+        self.routing_overflow += int(np.asarray(n_over).sum())
+
+    def run(self, batches: Iterable[ReadBatch]) -> MapResult:
+        for b in batches:
+            self.feed(b)
+        return self.finalize()
+
+    def finalize(self) -> MapResult:
+        if self.routing_overflow:
+            log.warning("%d k-mer lanes dropped in all_to_all routing "
+                        "(raise capacity_factor)", self.routing_overflow)
+        count = np.asarray(self.table.count)
+        sig = np.asarray(self.table.sig)
+        overflow = int(np.asarray(self.table.overflow).sum())
+        occ = count > 0
+        merged: Dict[tuple, int] = {}
+        for row, n in zip(sig[occ], count[occ]):
+            key = tuple(row.tolist())
+            merged[key] = merged.get(key, 0) + int(n)
+        sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
+            len(merged), sig.shape[1])
+        counts = np.array(list(merged.values()), dtype=np.int64)
+        return MapResult(sigs=sigs, sig_counts=counts,
+                         total_reads=self.total_reads,
+                         mapped=int(counts.sum()), overflow=overflow)

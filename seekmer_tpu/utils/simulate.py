@@ -15,6 +15,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..encoding import seq_to_codes
+
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
@@ -92,6 +94,43 @@ def simulate_reads(
                 r2 = _inject_errors(rng, r2, error_rate)
             reads2.append(r2)
     return SimulatedReads(reads1=reads1, reads2=reads2, true_transcript=tids)
+
+
+def simulate_packed_batches(
+    rng: np.random.Generator,
+    seqs: List[str],
+    num_batches: int,
+    batch_size: int,
+    read_len: int = 100,
+    error_rate: float = 0.005,
+    abundance: Optional[np.ndarray] = None,
+):
+    """Vectorized read simulation straight into packed device batches.
+
+    Returns (codes uint8[num_batches, B, L], true_counts int64[T]). Used by
+    benchmarks where per-read Python loops would dominate the wall clock.
+    Reads are all forward-strand (canonicalization makes strand irrelevant
+    to mapping).
+    """
+    T = len(seqs)
+    lens = np.array([len(s) for s in seqs])
+    eff = np.maximum(lens - read_len + 1, 0)
+    w = (abundance if abundance is not None else np.ones(T)) * eff
+    p = w / w.sum()
+
+    concat = np.concatenate([seq_to_codes(s) for s in seqs])
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+
+    N = num_batches * batch_size
+    tids = rng.choice(T, size=N, p=p).astype(np.int32)
+    starts = (rng.random(N) * eff[tids]).astype(np.int64)
+    pos = offsets[tids][:, None] + starts[:, None] + np.arange(read_len)
+    codes = concat[pos].astype(np.uint8)
+    if error_rate > 0:
+        hit = rng.random(codes.shape) < error_rate
+        codes[hit] = rng.integers(0, 4, size=int(hit.sum()), dtype=np.uint8)
+    true_counts = np.bincount(tids, minlength=T).astype(np.int64)
+    return codes.reshape(num_batches, batch_size, read_len), true_counts
 
 
 def _inject_errors(rng: np.random.Generator, read: str, rate: float) -> str:

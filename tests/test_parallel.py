@@ -1,0 +1,106 @@
+"""Distributed-without-a-pod tests (SURVEY.md section 4 item 4): the
+8-fake-device CPU mesh exercises data-parallel mapping, collective EM with
+psum, and sharded bootstrap in ordinary pytest."""
+
+import jax
+import numpy as np
+import pytest
+
+from seekmer_tpu.config import EMConfig, MapConfig, ShardConfig
+from seekmer_tpu.em.em import build_ec_table, run_em
+from seekmer_tpu.index.build import build_index_from_seqs
+from seekmer_tpu.io.fastq import batch_reads
+from seekmer_tpu.map.driver import Mapper, resolve_signatures
+from seekmer_tpu.map.signature import SIG_PAD
+from seekmer_tpu.parallel.bootstrap_shard import run_bootstrap_sharded
+from seekmer_tpu.parallel.collective_em import run_em_collective
+from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+from seekmer_tpu.parallel.mesh import make_mesh
+from seekmer_tpu.utils.simulate import random_transcriptome, simulate_reads
+from tests.oracle import oracle
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(321)
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=50, min_len=200, max_len=1000,
+        shared_prefix_frac=0.5,
+    )
+    index = build_index_from_seqs(names, seqs)
+    sim = simulate_reads(rng, seqs, num_reads=1500, read_len=100,
+                         error_rate=0.005)
+    return index, sim
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(ShardConfig(data_axis=8, index_axis=1))
+    assert mesh.shape == {"reads": 8, "index": 1}
+    mesh = make_mesh(ShardConfig(data_axis=0, index_axis=2))
+    assert mesh.shape == {"reads": 4, "index": 2}
+    with pytest.raises(ValueError):
+        make_mesh(ShardConfig(data_axis=3, index_axis=1))
+
+
+def test_data_parallel_matches_single_chip(world):
+    """DP mapping over 8 shards must produce the same signature counts as
+    the single-chip mapper (and hence the oracle)."""
+    index, sim = world
+    cfg = MapConfig(batch_size=512, sig_table_bits=12)
+    shard_cfg = ShardConfig(data_axis=8)
+
+    dp = DataParallelMapper(index, cfg, shard_cfg)
+    reads_b = [r.encode() for r in sim.reads1]
+    res_dp = dp.run(batch_reads(reads_b, cfg))
+
+    single = Mapper(index, cfg)
+    res_1 = single.run(batch_reads(reads_b, cfg))
+
+    assert res_dp.total_reads == res_1.total_reads
+    assert res_dp.mapped == res_1.mapped
+    assert res_dp.overflow == 0
+
+    def as_dict(res):
+        return {
+            tuple(r[r != int(SIG_PAD)].tolist()): int(n)
+            for r, n in zip(res.sigs, res.sig_counts)
+        }
+
+    assert as_dict(res_dp) == as_dict(res_1)
+
+
+def test_collective_em_matches_single(world):
+    index, sim = world
+    cfg = MapConfig(batch_size=512, sig_table_bits=12)
+    em_cfg = EMConfig(rel_tol=1e-6)
+    mapper = Mapper(index, cfg)
+    result = mapper.run(batch_reads([r.encode() for r in sim.reads1], cfg))
+    members, counts, _ = resolve_signatures(result, index)
+    ec = build_ec_table(members, counts, index.num_transcripts)
+
+    alpha_1, it_1 = run_em(ec, index.lengths, em_cfg)
+    mesh = make_mesh(ShardConfig(data_axis=8))
+    alpha_8, it_8 = run_em_collective(ec, index.lengths, em_cfg, mesh)
+
+    np.testing.assert_allclose(np.asarray(alpha_8), np.asarray(alpha_1),
+                               rtol=1e-4, atol=1e-3)
+    # iteration counts should agree (same convergence rule, fp noise aside)
+    assert abs(int(it_8) - int(it_1)) <= 2
+
+
+def test_sharded_bootstrap(world):
+    index, sim = world
+    cfg = MapConfig(batch_size=512, sig_table_bits=12)
+    em_cfg = EMConfig(bootstrap_samples=16, bootstrap_seed=5)
+    mapper = Mapper(index, cfg)
+    result = mapper.run(batch_reads([r.encode() for r in sim.reads1], cfg))
+    members, counts, _ = resolve_signatures(result, index)
+    ec = build_ec_table(members, counts, index.num_transcripts)
+
+    mesh = make_mesh(ShardConfig(data_axis=8))
+    boot = np.asarray(run_bootstrap_sharded(ec, index.lengths, em_cfg, mesh))
+    assert boot.shape == (16, index.num_transcripts)
+    np.testing.assert_allclose(boot.sum(axis=1), counts.sum(), rtol=1e-3)
+    # shards resampled independently
+    assert np.std(boot.sum(axis=1) - boot.sum(axis=1).mean()) < 1e-2
+    assert np.std(boot, axis=0).max() > 0
