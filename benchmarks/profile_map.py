@@ -1,0 +1,120 @@
+"""Stage-level timing of the device map step on real hardware: where does
+the time go? (pack -> probe -> signature-extract -> accumulate)
+
+Run: python benchmarks/profile_map.py [--reads-per-batch N] [--batches N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", type=int, default=1000)
+    ap.add_argument("--reads-per-batch", type=int, default=65536)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--read-len", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.map.driver import DeviceIndex
+    from seekmer_tpu.map.signature import (
+        accumulate, make_sig_table, read_signatures, fingerprint,
+    )
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.ops.kmer_pack import pack_canonical
+    from seekmer_tpu.ops.probe import lookup_ecs
+    from seekmer_tpu.utils.simulate import (
+        random_transcriptome, simulate_packed_batches,
+    )
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    rng = np.random.default_rng(1)
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=args.transcripts, min_len=300, max_len=3000,
+        shared_prefix_frac=0.5)
+    index = build_index_from_seqs(names, seqs)
+    di = DeviceIndex.from_host(index)
+    cfg = MapConfig(batch_size=args.reads_per_batch)
+    B, L = args.reads_per_batch, args.read_len
+    codes, _ = simulate_packed_batches(rng, seqs, args.batches, B, read_len=L)
+    codes_d = [jnp.asarray(c) for c in codes]
+    lengths = jnp.full(B, L, jnp.int32)
+    weights = jnp.ones(B, jnp.int32)
+
+    k = index.k
+
+    @jax.jit
+    def stage_pack(c):
+        return pack_canonical(c, lengths, k)
+
+    @jax.jit
+    def stage_probe(c):
+        hi, lo, valid = pack_canonical(c, lengths, k)
+        return lookup_ecs(hi, lo, valid, di.table, di.main_slots,
+                          di.main_probe, di.stash, di.stash_slots,
+                          di.stash_probe)
+
+    @jax.jit
+    def stage_sig(c):
+        hi, lo, valid = pack_canonical(c, lengths, k)
+        ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots,
+                         di.main_probe, di.stash, di.stash_slots,
+                         di.stash_probe)
+        sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
+        return sig, mapped
+
+    def stage_full():
+        table = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        acc = jax.jit(accumulate, static_argnames=("sig_probe",),
+                      donate_argnums=(0,))
+
+        def run(c, t):
+            sig, mapped = stage_sig(c)
+            return acc(t, sig, mapped, weights=weights,
+                       sig_probe=cfg.sig_probe)
+        return run, table
+
+    def bench(name, fn):
+        out = fn(codes_d[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(1, args.batches):
+            out = fn(codes_d[i])
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / (args.batches - 1)
+        log(f"{name:28s} {dt*1e3:8.2f} ms/batch "
+            f"{B/dt/1e6:8.2f} Mreads/s")
+        return dt
+
+    t_pack = bench("pack_canonical", stage_pack)
+    t_probe = bench("pack+probe", stage_probe)
+    t_sig = bench("pack+probe+signature", stage_sig)
+
+    run, table = stage_full()
+    table = run(codes_d[0], table)
+    jax.block_until_ready(table)
+    t0 = time.perf_counter()
+    for i in range(1, args.batches):
+        table = run(codes_d[i], table)
+    jax.block_until_ready(table)
+    t_full = (time.perf_counter() - t0) / (args.batches - 1)
+    log(f"{'full step':28s} {t_full*1e3:8.2f} ms/batch "
+        f"{B/t_full/1e6:8.2f} Mreads/s")
+    log(f"breakdown: pack {t_pack*1e3:.1f} | probe {t_probe*1e3 - t_pack*1e3:.1f} | "
+        f"sig {t_sig*1e3 - t_probe*1e3:.1f} | acc {t_full*1e3 - t_sig*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

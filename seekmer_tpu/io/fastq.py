@@ -128,3 +128,66 @@ def _pack_pairs(lst, bucket: int, B: int, w: np.ndarray) -> ReadBatch:
     codes1, len1 = _pack([a for a, _ in lst], bucket, B)
     codes2, len2 = _pack([b for _, b in lst], bucket, B)
     return ReadBatch(codes1, len1, w, codes2=codes2, lengths2=len2)
+
+
+class _BucketAccumulator:
+    """Groups pre-packed code rows into fixed-shape per-bucket batches."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        self.pending: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+
+    def _bucket_ids(self, lengths: np.ndarray) -> np.ndarray:
+        b = self.cfg.length_bucket
+        return np.minimum(
+            (np.maximum(lengths, 1) + b - 1) // b * b, self.cfg.max_read_len
+        )
+
+    def add(self, codes: np.ndarray, lengths: np.ndarray):
+        """Yields full ReadBatch objects as buckets fill."""
+        B = self.cfg.batch_size
+        for bucket in np.unique(self._bucket_ids(lengths)):
+            sel = self._bucket_ids(lengths) == bucket
+            rows = codes[sel, :bucket]
+            ls = np.minimum(lengths[sel], bucket).astype(np.int32)
+            buf, lbuf, fill = self.pending.get(bucket) or (
+                np.full((B, bucket), INVALID, np.uint8),
+                np.zeros(B, np.int32), 0)
+            i = 0
+            while i < rows.shape[0]:
+                take = min(B - fill, rows.shape[0] - i)
+                buf[fill : fill + take] = rows[i : i + take]
+                lbuf[fill : fill + take] = ls[i : i + take]
+                fill += take
+                i += take
+                if fill == B:
+                    yield ReadBatch(buf, lbuf, np.ones(B, np.int32))
+                    buf = np.full((B, bucket), INVALID, np.uint8)
+                    lbuf = np.zeros(B, np.int32)
+                    fill = 0
+            self.pending[bucket] = (buf, lbuf, fill)
+
+    def flush(self):
+        B = self.cfg.batch_size
+        for bucket, (buf, lbuf, fill) in self.pending.items():
+            if fill:
+                w = np.zeros(B, np.int32)
+                w[:fill] = 1
+                yield ReadBatch(buf, lbuf, w)
+        self.pending = {}
+
+
+def batch_reads_native(
+    paths, cfg: MapConfig
+) -> Iterator[ReadBatch]:
+    """Single-end batching through the C packer (falls back to Python)."""
+    from ..native.packer import get_lib, stream_packed
+
+    if get_lib() is None:
+        yield from batch_reads(read_fastq_many(paths), cfg)
+        return
+    acc = _BucketAccumulator(cfg)
+    for path in paths:
+        for codes, lengths in stream_packed(path, cfg.max_read_len):
+            yield from acc.add(codes, lengths)
+    yield from acc.flush()

@@ -58,7 +58,9 @@ class Quantifier:
             )
             batches = batch_read_pairs(pairs, self.cfg.map)
         else:
-            batches = batch_reads(read_fastq_many(fastq_paths), self.cfg.map)
+            from ..io.fastq import batch_reads_native
+
+            batches = batch_reads_native(fastq_paths, self.cfg.map)
         return self.quantify_batches(batches)
 
     def quantify_reads(

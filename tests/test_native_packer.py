@@ -1,0 +1,84 @@
+"""Native C FASTQ packer vs the pure-Python path (SURVEY.md 7.5 item 4:
+host ingest keeping chips fed; the one C component of the TPU build)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from seekmer_tpu.config import MapConfig
+from seekmer_tpu.io.fastq import batch_reads, batch_reads_native, read_fastq_many
+from seekmer_tpu.native.packer import get_lib, pack_chunk, stream_packed
+from seekmer_tpu.utils.simulate import simulate_reads, random_transcriptome, write_fastq
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="no C compiler for native packer"
+)
+
+
+def _mk_fastq(tmp_path, reads, gz=False, name="r.fq"):
+    p = str(tmp_path / (name + (".gz" if gz else "")))
+    write_fastq(p, reads)
+    return p
+
+
+@pytest.fixture(scope="module")
+def reads():
+    rng = np.random.default_rng(8)
+    _, seqs = random_transcriptome(rng, num_transcripts=10)
+    sim = simulate_reads(rng, seqs, num_reads=500, read_len=87)
+    # mix in odd lengths and N bases
+    out = list(sim.reads1)
+    out[0] = out[0][:30]
+    out[1] = out[1][:10] + "N" * 5 + out[1][15:]
+    out[2] = out[2].lower()
+    return out
+
+
+def test_pack_chunk_basic():
+    buf = b"@r0\nACGTN\n+\nIIIII\n@r1\nggcc\n+\nIIII\n"
+    codes, lengths, consumed = pack_chunk(buf, 10, 8)
+    assert consumed == len(buf)
+    assert lengths.tolist() == [5, 4]
+    assert codes[0].tolist() == [0, 1, 2, 3, 4, 4, 4, 4]
+    assert codes[1].tolist() == [2, 2, 1, 1, 4, 4, 4, 4]
+
+
+def test_pack_chunk_partial_record():
+    buf = b"@r0\nACGT\n+\nIIII\n@r1\nACG"
+    codes, lengths, consumed = pack_chunk(buf, 10, 8)
+    assert lengths.tolist() == [4]
+    assert consumed == 16  # only the complete record
+
+
+def test_pack_chunk_malformed():
+    with pytest.raises(ValueError):
+        pack_chunk(b"not a fastq\nxx\n", 4, 8)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_stream_matches_python(tmp_path, reads, gz):
+    p = _mk_fastq(tmp_path, reads, gz=gz)
+    got_lens, got_first = [], []
+    for codes, lengths in stream_packed(p, max_len=512, chunk_bytes=997):
+        got_lens.extend(lengths.tolist())
+        got_first.extend(codes[:, 0].tolist())
+    assert got_lens == [len(r) for r in reads]
+
+
+def test_batches_native_equals_python(tmp_path, reads):
+    p = _mk_fastq(tmp_path, reads)
+    cfg = MapConfig(batch_size=64)
+    a = list(batch_reads_native([p], cfg))
+    b = list(batch_reads((r.encode() for r in reads), cfg))
+
+    def flatten(batches):
+        rows = []
+        for batch in batches:
+            for i in range(batch.codes.shape[0]):
+                if batch.weights[i]:
+                    rows.append(
+                        tuple(batch.codes[i, : batch.lengths[i]].tolist()))
+        return sorted(rows)
+
+    assert flatten(a) == flatten(b)
