@@ -45,6 +45,12 @@ def _add_infer(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--x64", action="store_true",
                    help="float64 EM (bit-parity with the float64 oracle)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for batch-granular resume")
+    p.add_argument("--checkpoint-every", type=int, default=50,
+                   help="batches between checkpoints")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -102,8 +108,13 @@ def cmd_infer(args) -> int:
             use_x64=args.x64,
         ),
     )
+    from .utils.profiling import maybe_trace
+
     q = Quantifier(index, cfg)
-    result = q.quantify_files(args.fastq, mate_paths=args.mates or None)
+    with maybe_trace(args.trace_dir, "infer"):
+        result = q.quantify_files(args.fastq, mate_paths=args.mates or None,
+                                  checkpoint_path=args.checkpoint,
+                                  checkpoint_every=args.checkpoint_every)
 
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "abundance.tsv")

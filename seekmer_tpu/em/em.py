@@ -96,13 +96,15 @@ def em_step(alpha, ec: ECTable, eff):
 @functools.partial(
     jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
 )
-def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts, cfg):
+def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
+                cfg, alpha_init=None):
     ec = ECTable(counts, ec_ids, txp_ids, num_ecs, num_transcripts)
     dtype = counts.dtype
     eff = effective_lengths(lengths, cfg, dtype)
     N = counts.sum()
     T = num_transcripts
-    alpha0 = jnp.full((T,), N / T, dtype=dtype)
+    alpha0 = (jnp.full((T,), N / T, dtype=dtype)
+              if alpha_init is None else alpha_init.astype(dtype))
 
     def cond(state):
         it, converged, _ = state
@@ -123,9 +125,12 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts, cfg)
 
 
 def run_em(
-    ec: ECTable, lengths, cfg: EMConfig = EMConfig()
+    ec: ECTable, lengths, cfg: EMConfig = EMConfig(), alpha_init=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """EM to convergence. Returns (alpha float[T], iterations int32)."""
+    """EM to convergence. Returns (alpha float[T], iterations int32).
+
+    ``alpha_init`` warm-starts the fixed point (checkpoint resume,
+    SURVEY.md 5.3: "EM restarts from last alpha snapshot")."""
     return _run_em_jit(
         ec.counts,
         ec.ec_ids,
@@ -134,6 +139,7 @@ def run_em(
         ec.num_ecs,
         ec.num_transcripts,
         cfg,
+        alpha_init=alpha_init,
     )
 
 

@@ -132,10 +132,38 @@ class Mapper:
                           batch.weights, **kwargs)
         self.total_reads += batch.n_real
 
-    def run(self, batches: Iterable[ReadBatch]) -> "MapResult":
+    def run(self, batches: Iterable[ReadBatch],
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 50) -> "MapResult":
+        """Feed all batches; optionally checkpoint the signature table +
+        read cursor every N batches (SURVEY.md 5.3: batch-granular
+        restart)."""
+        n = 0
         for batch in batches:
             self.feed(batch)
+            n += 1
+            if checkpoint_path and n % checkpoint_every == 0:
+                self.save_checkpoint(checkpoint_path)
+        if checkpoint_path:
+            self.save_checkpoint(checkpoint_path)
         return self.finalize()
+
+    def save_checkpoint(self, path: str) -> None:
+        from ..utils.checkpoint import save_map_checkpoint
+
+        save_map_checkpoint(path, self.table, self.total_reads,
+                            {"reads_consumed": self.total_reads})
+
+    def restore_checkpoint(self, path: str) -> Optional[dict]:
+        """Restore table + counters; returns the stream cursor (how many
+        reads to skip on re-feed) or None if no checkpoint exists."""
+        from ..utils.checkpoint import load_map_checkpoint
+
+        loaded = load_map_checkpoint(path)
+        if loaded is None:
+            return None
+        self.table, self.total_reads, stream_state = loaded
+        return stream_state
 
     def finalize(self) -> MapResult:
         sigs, counts = table_to_host(self.table)

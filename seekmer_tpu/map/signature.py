@@ -100,10 +100,13 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
                sig_probe: int = 32) -> SigTable:
     """Fold one batch of read signatures into the device table.
 
-    Batch-local dedup (lexicographic sort on fingerprints) leaves one active
-    lane per distinct signature carrying its batch count, then the CAS
-    protocol claims/locates slots. Donate ``table`` at the jit boundary for
-    in-place updates.
+    Every mapped lane runs the CAS protocol directly — no batch-local dedup
+    pass is needed, because the protocol is idempotent under duplicate
+    fingerprints: lanes sharing a fingerprint either all match an existing
+    slot, or all observe the same post-claim row and "win" together, and
+    the count update is a scatter-ADD (correct under duplicates). This
+    removes a multi-operand batch sort from the hot path. Donate ``table``
+    at the jit boundary for in-place updates.
     """
     B, C = sig.shape
     S = table.key.shape[0] - 1  # last row is the dump slot
@@ -112,26 +115,11 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
 
     fp1, fp2 = fingerprint(sig)
     w = jnp.where(mapped, jnp.ones(B, jnp.int32) if weights is None else weights, 0)
-    # Unmapped lanes sort to the back and never activate.
-    fp1 = jnp.where(mapped, fp1, jnp.int32(0x7FFFFFFF))
-    fp2 = jnp.where(mapped, fp2, jnp.int32(0x7FFFFFFF))
+    active0 = w > 0
 
-    operands = [fp1, fp2, w] + [sig[:, c] for c in range(C)]
-    sorted_ops = jax.lax.sort(operands, num_keys=2)
-    fp1s, fp2s, ws = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    sig_s = jnp.stack(sorted_ops[3:], axis=1)
-
-    first = jnp.ones(B, bool).at[1:].set(
-        (fp1s[1:] != fp1s[:-1]) | (fp2s[1:] != fp2s[:-1])
-    )
-    run_id = jnp.cumsum(first) - 1
-    run_counts = jax.ops.segment_sum(ws, run_id, num_segments=B)
-    cnt = run_counts[run_id]  # each run head carries its run's total weight
-    active0 = first & (cnt > 0)
-
-    home = (sig_slot_hash(fp1s.astype(jnp.uint32), fp2s.astype(jnp.uint32))
+    home = (sig_slot_hash(fp1.astype(jnp.uint32), fp2.astype(jnp.uint32))
             & mask).astype(jnp.int32)
-    keyrow = jnp.stack([fp1s, fp2s], axis=1)
+    keyrow = jnp.stack([fp1, fp2], axis=1)
 
     def cond(state):
         r, active, *_ = state
@@ -141,26 +129,26 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
         r, active, key, count, sigtab = state
         slot = (home + r) & jnp.int32(S - 1)
         rows = key[slot]
-        match = active & (rows[:, 0] == fp1s) & (rows[:, 1] == fp2s)
+        match = active & (rows[:, 0] == fp1) & (rows[:, 1] == fp2)
         is_empty = (rows[:, 0] == 0) & (rows[:, 1] == 0)
         try_claim = active & ~match & is_empty
 
         claim_slot = jnp.where(try_claim, slot, dump)
         key = key.at[claim_slot].set(keyrow)  # whole-row atomic on duplicates
         rows2 = key[slot]
-        won = try_claim & (rows2[:, 0] == fp1s) & (rows2[:, 1] == fp2s)
+        won = try_claim & (rows2[:, 0] == fp1) & (rows2[:, 1] == fp2)
 
         resolved = match | won
         add_slot = jnp.where(resolved, slot, dump)
-        count = count.at[add_slot].add(jnp.where(resolved, cnt, 0))
+        count = count.at[add_slot].add(jnp.where(resolved, w, 0))
         sig_slot = jnp.where(won, slot, dump)
-        sigtab = sigtab.at[sig_slot].set(sig_s)
+        sigtab = sigtab.at[sig_slot].set(sig)
         return r + 1, active & ~resolved, key, count, sigtab
 
     r, active, key, count, sigtab = jax.lax.while_loop(
         cond, body, (jnp.int32(0), active0, table.key, table.count, table.sig)
     )
-    lost = jnp.where(active, cnt, 0).sum().astype(jnp.int32)
+    lost = jnp.where(active, w, 0).sum().astype(jnp.int32)
     # Scrub any junk the loop scattered into the dump row.
     key = key.at[dump].set(jnp.zeros(2, jnp.int32))
     count = count.at[dump].set(0)

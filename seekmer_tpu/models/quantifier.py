@@ -51,17 +51,41 @@ class Quantifier:
         self,
         fastq_paths: List[str],
         mate_paths: Optional[List[str]] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 50,
     ) -> QuantResult:
+        skip = 0
+        mapper = Mapper(self.index, self.cfg.map)
+        if checkpoint_path:
+            state = mapper.restore_checkpoint(checkpoint_path)
+            if state:
+                skip = state["reads_consumed"]
+                log.info("resuming from checkpoint: %d reads already mapped",
+                         skip)
+
         if mate_paths:
             pairs = zip(
                 read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
             )
+            if skip:
+                import itertools
+
+                pairs = itertools.islice(pairs, skip, None)
             batches = batch_read_pairs(pairs, self.cfg.map)
         else:
             from ..io.fastq import batch_reads_native
 
-            batches = batch_reads_native(fastq_paths, self.cfg.map)
-        return self.quantify_batches(batches)
+            if skip:
+                import itertools
+
+                reads = itertools.islice(
+                    read_fastq_many(fastq_paths), skip, None)
+                batches = batch_reads(reads, self.cfg.map)
+            else:
+                batches = batch_reads_native(fastq_paths, self.cfg.map)
+        return self.quantify_batches(batches, mapper=mapper,
+                                     checkpoint_path=checkpoint_path,
+                                     checkpoint_every=checkpoint_every)
 
     def quantify_reads(
         self, reads: List[str], mates: Optional[List[str]] = None
@@ -74,10 +98,15 @@ class Quantifier:
             batches = batch_reads(reads_b, self.cfg.map)
         return self.quantify_batches(batches)
 
-    def quantify_batches(self, batches: Iterable[ReadBatch]) -> QuantResult:
+    def quantify_batches(self, batches: Iterable[ReadBatch],
+                         mapper: Optional[Mapper] = None,
+                         checkpoint_path: Optional[str] = None,
+                         checkpoint_every: int = 50) -> QuantResult:
         t0 = time.perf_counter()
-        mapper = Mapper(self.index, self.cfg.map)
-        result = mapper.run(batches)
+        if mapper is None:
+            mapper = Mapper(self.index, self.cfg.map)
+        result = mapper.run(batches, checkpoint_path=checkpoint_path,
+                            checkpoint_every=checkpoint_every)
         t_map = time.perf_counter() - t0
         log.info(
             "mapped %d/%d reads (%d distinct signatures, %d overflow)",
