@@ -63,15 +63,13 @@ def main():
     def stage_probe(c):
         hi, lo, valid = pack_canonical(c, lengths, k)
         return lookup_ecs(hi, lo, valid, di.table, di.main_slots,
-                          di.main_probe, di.stash, di.stash_slots,
-                          di.stash_probe)
+                          di.stash, di.stash_slots, di.bucket)
 
     @jax.jit
     def stage_sig(c):
         hi, lo, valid = pack_canonical(c, lengths, k)
         ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots,
-                         di.main_probe, di.stash, di.stash_slots,
-                         di.stash_probe)
+                         di.stash, di.stash_slots, di.bucket)
         sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
         return sig, mapped
 

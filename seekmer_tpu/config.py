@@ -24,15 +24,14 @@ class IndexConfig:
     """Configuration for k-mer index construction (reference: seekmer index.py)."""
 
     k: int = 25
-    # Open-addressing main table load factor (power-of-two slot count chosen so
-    # that n_keys / n_slots <= load_factor).
+    # Target load factor (keys / total slots) of the bucketized main table.
     load_factor: float = 0.5
-    # Max linear-probe distance served by the main table; keys whose offline
-    # placement exceeds this are relocated to the stash table.
-    main_probe: int = 16
-    # Max probe distance in the stash table (built at low load so this holds).
-    stash_probe: int = 16
-    # Stash table sized as max(stash_min_slots, n_stash/stash_load) slots.
+    # Slots per bucket. One device gather fetches a whole bucket (16 slots x
+    # 16B = 256B); measured TPU gather cost is per-LANE, not per-byte, so a
+    # key is found in exactly one gather of its home bucket (or one more in
+    # the stash for bucket-overflow keys) — no probe loop.
+    bucket_size: int = 16
+    # Stash sized at this load; grown 2x until no stash bucket overflows.
     stash_load: float = 0.25
     stash_min_slots: int = 1024
 

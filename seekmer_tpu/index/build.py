@@ -9,10 +9,10 @@ Everything is vectorized numpy — no Python loop touches individual k-mers:
   2. global sort of (key, transcript) pairs, dedupe, group by key;
   3. equivalence classes = groups of keys with identical transcript sets,
      found by 128-bit order-sensitive fingerprints over the sorted sets;
-  4. open-addressing placement done OFFLINE: sort keys by home slot, place
-     greedily with ``pos[i] = max(home[i], pos[i-1]+1)`` — computed in one
-     ``np.maximum.accumulate`` — keys displaced >= main_probe relocate to a
-     low-load stash table so the device probe loop has a small static bound.
+  4. bucketized placement done OFFLINE: sort keys by home bucket, rank
+     within the bucket group, keep rank < bucket_size — keys whose home
+     bucket is full relocate to a low-load stash table, giving the device a
+     2-choice guarantee: one gather finds any key (ops/probe.py).
 """
 
 from __future__ import annotations
@@ -122,97 +122,88 @@ def group_equivalence_classes(
     return unique_keys, key_ec, ec_offsets.astype(np.int32), ec_transcripts
 
 
-def _offline_place(homes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy linear-probe placement for home slots sorted ascending.
-
-    Returns (order, pos): process keys in ``order``; key order[i] lands at
-    slot pos[i] (>= home, strictly increasing). Vectorized via the identity
-    pos[i] - i = max over j<=i of (home[j] - j).
-    """
-    order = np.argsort(homes, kind="stable")
-    hs = homes[order].astype(np.int64)
-    idx = np.arange(hs.size, dtype=np.int64)
-    pos = np.maximum.accumulate(hs - idx) + idx
-    return order, pos
-
-
-def build_oa_table(
+def build_bucket_table(
     hi: np.ndarray,
     lo: np.ndarray,
     vals: np.ndarray,
-    slots: int,
-    probe_cap: int,
+    n_buckets: int,
+    bucket: int,
     hash_fn,
-) -> Tuple[np.ndarray, int, np.ndarray]:
-    """Build one open-addressing table (no wraparound: ``probe_cap`` spill
-    slots appended past ``slots``).
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Place keys in their home bucket (hash & (n_buckets-1)); a bucket holds
+    ``bucket`` slots. Keys that do not fit (home bucket full) are returned as
+    the overflow mask, NOT placed — the caller routes them to the stash.
 
-    Returns (table int32[(slots+probe_cap), 4], max_probe, overflow_mask) —
-    overflow keys (displacement >= probe_cap) are NOT placed; the caller
-    routes them to the stash.
+    Returns (table int32[n_buckets*bucket, 4], overflow_mask). Fully
+    vectorized: sort by home bucket, rank within the bucket group, keep
+    rank < bucket.
     """
-    mask = np.uint32(slots - 1)
-    homes = (hash_fn(hi.view(np.uint32), lo.view(np.uint32)) & mask).astype(np.int64)
-    order, pos = _offline_place(homes)
-    disp = pos - homes[order]
-    over_sorted = disp >= probe_cap
+    mask = np.uint32(n_buckets - 1)
+    homes = (hash_fn(hi.view(np.uint32), lo.view(np.uint32)) & mask).astype(
+        np.int64
+    )
+    order = np.argsort(homes, kind="stable")
+    hs = homes[order]
+    idx = np.arange(hs.size, dtype=np.int64)
+    first = np.ones(hs.size, dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    group_start = np.maximum.accumulate(np.where(first, idx, 0))
+    rank = idx - group_start
+    keep = rank < bucket
+
     overflow = np.zeros(hi.size, dtype=bool)
-    overflow[order[over_sorted]] = True
+    overflow[order[~keep]] = True
 
-    if overflow.any():
-        keep_order = order[~over_sorted]
-        _, pos2 = _offline_place(homes[keep_order])
-        # placement of a subsequence never displaces further than the original
-        place_idx, place_pos = keep_order, pos2
-        disp2 = place_pos - homes[keep_order]
-        assert disp2.max(initial=0) < probe_cap
-        max_probe = int(disp2.max(initial=-1)) + 1
-    else:
-        place_idx, place_pos = order, pos
-        max_probe = int(disp.max(initial=-1)) + 1
-
-    table = np.full((slots + probe_cap, 4), EMPTY, dtype=np.int32)
-    table[place_pos, 0] = hi[place_idx]
-    table[place_pos, 1] = lo[place_idx]
-    table[place_pos, 2] = vals[place_idx]
-    table[place_pos, 3] = 0
-    return table, max_probe, overflow
+    slot = hs[keep] * bucket + rank[keep]
+    src = order[keep]
+    table = np.full((n_buckets * bucket, 4), EMPTY, dtype=np.int32)
+    table[slot, 0] = hi[src]
+    table[slot, 1] = lo[src]
+    table[slot, 2] = vals[src]
+    table[slot, 3] = 0
+    return table, overflow
 
 
 def build_tables(
     unique_keys: np.ndarray, key_ec: np.ndarray, k: int, cfg: IndexConfig
 ) -> dict:
-    """Main + stash open-addressing tables for key -> EC id."""
+    """Bucketized 2-choice tables: every key lives in its main home bucket
+    or (if that bucket is full) its stash home bucket — so a device lookup
+    is exactly one bucket gather, plus one compacted stash gather for the
+    rare overflow lanes (ops/probe.py)."""
     hi, lo = split_key(unique_keys, k)
     n = unique_keys.size
-    slots = _next_pow2(max(int(np.ceil(n / cfg.load_factor)), 16))
-    table, main_probe, overflow = build_oa_table(
-        hi, lo, key_ec, slots, cfg.main_probe, hash_kmer
+    G = cfg.bucket_size
+    n_buckets = _next_pow2(
+        max(int(np.ceil(n / (cfg.load_factor * G))), 2)
     )
+    table, overflow = build_bucket_table(hi, lo, key_ec, n_buckets, G,
+                                         hash_kmer)
     n_over = int(overflow.sum())
     log.info(
-        "main table: %d keys, %d slots (load %.2f), max probe %d, %d stashed",
-        n, slots, n / slots, main_probe, n_over,
+        "main table: %d keys, %d buckets x %d (load %.2f), %d stashed (%.2g)",
+        n, n_buckets, G, n / (n_buckets * G), n_over,
+        n_over / max(n, 1),
     )
 
     s_hi, s_lo, s_val = hi[overflow], lo[overflow], key_ec[overflow]
-    stash_slots = _next_pow2(
-        max(cfg.stash_min_slots, int(np.ceil(max(n_over, 1) / cfg.stash_load)))
+    stash_buckets = _next_pow2(
+        max(cfg.stash_min_slots // G,
+            int(np.ceil(max(n_over, 1) / (cfg.stash_load * G))), 2)
     )
     while True:
-        stash, stash_probe, s_over = build_oa_table(
-            s_hi, s_lo, s_val, stash_slots, cfg.stash_probe, hash_kmer_stash
+        stash, s_over = build_bucket_table(
+            s_hi, s_lo, s_val, stash_buckets, G, hash_kmer_stash
         )
         if not s_over.any():
             break
-        stash_slots *= 2  # extremely unlikely at stash_load
+        stash_buckets *= 2  # extremely unlikely at stash_load
     return dict(
         table=table,
-        main_slots=slots,
-        main_probe=main_probe,
+        main_slots=n_buckets * G,
         stash=stash,
-        stash_slots=stash_slots,
-        stash_probe=stash_probe,
+        stash_slots=stash_buckets * G,
+        bucket=G,
     )
 
 

@@ -18,7 +18,7 @@ import numpy as np
 
 EMPTY = np.int32(-1)  # key_hi sentinel for empty slots (valid hi >= 0)
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 @dataclasses.dataclass
@@ -27,12 +27,15 @@ class KMerIndex:
 
     Attributes:
       k: k-mer length.
-      table: int32[(S_main + main_probe), 4] open-addressing rows
-        [key_hi, key_lo, ec_id, 0]; EMPTY key_hi marks free slots.
-      main_slots: S_main (power of two; slot = hash & (S_main - 1)).
-      main_probe: max linear-probe distance needed in ``table``.
-      stash: int32[(S_stash + stash_probe), 4] same layout, independent hash.
-      stash_slots / stash_probe: as above for the stash.
+      table: int32[S_main, 4] bucketized rows [key_hi, key_lo, ec_id, aux];
+        EMPTY key_hi marks free slots. Buckets are ``bucket`` consecutive
+        slots; a key lives ONLY in its home bucket
+        (hash & (S_main/bucket - 1)) here, or its stash home bucket.
+      main_slots: S_main (bucket-count is a power of two).
+      stash: int32[S_stash, 4] same layout, independent hash; holds keys
+        whose main home bucket was full.
+      stash_slots: S_stash.
+      bucket: slots per bucket (one device gather = one bucket).
       ec_offsets: int32[E + 1] CSR row pointers into ec_transcripts.
       ec_transcripts: int32[nnz] sorted transcript ids per EC.
       names: np.ndarray[str] transcript names, lengths: int32[T].
@@ -42,10 +45,9 @@ class KMerIndex:
     k: int
     table: np.ndarray
     main_slots: int
-    main_probe: int
     stash: np.ndarray
     stash_slots: int
-    stash_probe: int
+    bucket: int
     ec_offsets: np.ndarray
     ec_transcripts: np.ndarray
     names: np.ndarray
@@ -73,9 +75,8 @@ class KMerIndex:
             "format_version": FORMAT_VERSION,
             "k": self.k,
             "main_slots": self.main_slots,
-            "main_probe": self.main_probe,
             "stash_slots": self.stash_slots,
-            "stash_probe": self.stash_probe,
+            "bucket": self.bucket,
         }
 
     def save(self, path: str) -> None:
@@ -104,10 +105,9 @@ class KMerIndex:
                 k=int(meta["k"]),
                 table=z["table"],
                 main_slots=int(meta["main_slots"]),
-                main_probe=int(meta["main_probe"]),
                 stash=z["stash"],
                 stash_slots=int(meta["stash_slots"]),
-                stash_probe=int(meta["stash_probe"]),
+                bucket=int(meta["bucket"]),
                 ec_offsets=z["ec_offsets"],
                 ec_transcripts=z["ec_transcripts"],
                 names=z["names"].astype(str),

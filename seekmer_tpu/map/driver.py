@@ -49,9 +49,8 @@ class DeviceIndex:
     table: jnp.ndarray
     stash: jnp.ndarray
     main_slots: int = dataclasses.field(metadata=dict(static=True))
-    main_probe: int = dataclasses.field(metadata=dict(static=True))
     stash_slots: int = dataclasses.field(metadata=dict(static=True))
-    stash_probe: int = dataclasses.field(metadata=dict(static=True))
+    bucket: int = dataclasses.field(metadata=dict(static=True))
     k: int = dataclasses.field(metadata=dict(static=True))
 
     @classmethod
@@ -61,9 +60,8 @@ class DeviceIndex:
             table=put(index.table),
             stash=put(index.stash),
             main_slots=index.main_slots,
-            main_probe=index.main_probe,
             stash_slots=index.stash_slots,
-            stash_probe=index.stash_probe,
+            bucket=index.bucket,
             k=index.k,
         )
 
@@ -88,13 +86,12 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
     """One device mapping step (jit-traced per bucket shape)."""
     di = device_index
     hi, lo, valid = pack_canonical(codes, lengths, di.k)
-    ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots, di.main_probe,
-                     di.stash, di.stash_slots, di.stash_probe)
+    ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots,
+                     di.stash, di.stash_slots, di.bucket)
     if codes2 is not None:
         hi2, lo2, valid2 = pack_canonical(codes2, lengths2, di.k)
         ecs2 = lookup_ecs(hi2, lo2, valid2, di.table, di.main_slots,
-                          di.main_probe, di.stash, di.stash_slots,
-                          di.stash_probe)
+                          di.stash, di.stash_slots, di.bucket)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
         ecs = jnp.concatenate([ecs, ecs2], axis=1)
         valid = jnp.concatenate([valid, valid2], axis=1)

@@ -65,9 +65,8 @@ class DataParallelMapper:
             table=jax.device_put(index.table, rep),
             stash=jax.device_put(index.stash, rep),
             main_slots=index.main_slots,
-            main_probe=index.main_probe,
             stash_slots=index.stash_slots,
-            stash_probe=index.stash_probe,
+            bucket=index.bucket,
             k=index.k,
         )
         # Per-chip tables, materialized as one global array sharded on dim 0:
@@ -97,9 +96,9 @@ class DataParallelMapper:
         rspec = P()
         di_spec = DeviceIndex(
             table=rspec, stash=rspec,
-            main_slots=self.index.main_slots, main_probe=self.index.main_probe,
+            main_slots=self.index.main_slots,
             stash_slots=self.index.stash_slots,
-            stash_probe=self.index.stash_probe, k=self.index.k,
+            bucket=self.index.bucket, k=self.index.k,
         )
         tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
 

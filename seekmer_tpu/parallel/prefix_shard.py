@@ -36,15 +36,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MapConfig, ShardConfig
-from ..encoding import split_key
-from ..index.build import _next_pow2, build_oa_table
+from ..index.build import _next_pow2, build_bucket_table
 from ..index.store import EMPTY, KMerIndex
 from ..io.fastq import ReadBatch
 from ..map.driver import MapResult
 from ..map.signature import SigTable, accumulate, make_sig_table, read_signatures
 from ..ops.hash import hash_kmer, hash_kmer_stash
 from ..ops.kmer_pack import pack_canonical
-from ..ops.probe import _probe
+from ..ops.probe import lookup_ecs
 from .mesh import make_mesh
 
 log = logging.getLogger(__name__)
@@ -55,12 +54,11 @@ log = logging.getLogger(__name__)
 class ShardedDeviceIndex:
     """Per-shard tables stacked on a leading axis sharded over `index`."""
 
-    table: jnp.ndarray  # int32[D, S_local + probe, 4]
-    stash: jnp.ndarray  # int32[D, S_stash + probe, 4]
+    table: jnp.ndarray  # int32[D, S_local, 4]
+    stash: jnp.ndarray  # int32[D, S_stash, 4]
     main_slots: int = dataclasses.field(metadata=dict(static=True))
-    main_probe: int = dataclasses.field(metadata=dict(static=True))
     stash_slots: int = dataclasses.field(metadata=dict(static=True))
-    stash_probe: int = dataclasses.field(metadata=dict(static=True))
+    bucket: int = dataclasses.field(metadata=dict(static=True))
     k: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
 
@@ -76,8 +74,8 @@ def shard_index_by_prefix(
     """Rebuild the flat index as n_shards prefix-partitioned sub-tables.
 
     Owner of a key = top log2(n_shards) bits of its main slot hash, so the
-    same hash computed on device routes queries; the low bits address slots
-    within the owner's table (hash bits are independent).
+    same hash computed on device routes queries; the low bits address the
+    home bucket within the owner's table (hash bits are independent).
     """
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     hi1, lo1, v1 = _occupied_keys(index.table)
@@ -85,6 +83,7 @@ def shard_index_by_prefix(
     hi = np.concatenate([hi1, hi2])
     lo = np.concatenate([lo1, lo2])
     val = np.concatenate([v1, v2])
+    G = index.bucket
 
     h = hash_kmer(hi.view(np.uint32), lo.view(np.uint32))
     # n_shards = 2**b: owner = top b bits of the slot hash
@@ -92,51 +91,40 @@ def shard_index_by_prefix(
     owner = (h >> np.uint32(32 - b)).astype(np.int64) if b else np.zeros(hi.size, np.int64)
 
     max_n = max(int((owner == d).sum()) for d in range(n_shards)) if hi.size else 1
-    slots = _next_pow2(max(int(np.ceil(max_n / load_factor)), 16))
-    probe_cap = index.main_probe if index.main_probe > 0 else 16
-    probe_cap = max(probe_cap, 16)
+    n_buckets = _next_pow2(max(int(np.ceil(max_n / (load_factor * G))), 2))
 
-    tables, stashes = [], []
-    stash_slot_sizes = []
-    parts = []
+    def build_shard(m, stash_buckets):
+        t, over = build_bucket_table(hi[m], lo[m], val[m], n_buckets, G,
+                                     hash_kmer)
+        while True:
+            st, s_over = build_bucket_table(
+                hi[m][over], lo[m][over], val[m][over], stash_buckets, G,
+                hash_kmer_stash)
+            if not s_over.any():
+                return t, st, stash_buckets
+            stash_buckets *= 2
+
+    tables, stashes, parts = [], [], []
+    stash_buckets = _next_pow2(max(1024 // G, 2))
     for d in range(n_shards):
         m = owner == d
-        t, mp, over = build_oa_table(hi[m], lo[m], val[m], slots, probe_cap,
-                                     hash_kmer)
-        s_hi, s_lo, s_val = hi[m][over], lo[m][over], val[m][over]
-        s_slots = _next_pow2(max(1024, int(np.ceil(max(s_hi.size, 1) / 0.25))))
-        while True:
-            st, sp, s_over = build_oa_table(
-                s_hi, s_lo, s_val, s_slots, probe_cap, hash_kmer_stash)
-            if not s_over.any():
-                break
-            s_slots *= 2
+        t, st, stash_buckets = build_shard(m, stash_buckets)
         tables.append(t)
         stashes.append(st)
-        stash_slot_sizes.append(s_slots)
         parts.append(int(m.sum()))
-    log.info("prefix shards: %s keys/shard, %d slots each", parts, slots)
-
-    # uniform stash shapes across shards
-    s_slots = max(stash_slot_sizes)
+    # rebuild earlier shards if the stash grew mid-way (uniform shapes)
     for d in range(n_shards):
-        if stash_slot_sizes[d] != s_slots:
-            m = owner == d
-            _, _, over = build_oa_table(hi[m], lo[m], val[m], slots, probe_cap,
-                                        hash_kmer)
-            st, _, s_over = build_oa_table(
-                hi[m][over], lo[m][over], val[m][over], s_slots, probe_cap,
-                hash_kmer_stash)
-            assert not s_over.any()
-            stashes[d] = st
+        if stashes[d].shape[0] != stash_buckets * G:
+            t, st, _ = build_shard(owner == d, stash_buckets)
+            tables[d], stashes[d] = t, st
+    log.info("prefix shards: %s keys/shard, %d buckets each", parts, n_buckets)
 
     return ShardedDeviceIndex(
         table=jnp.asarray(np.stack(tables)),
         stash=jnp.asarray(np.stack(stashes)),
-        main_slots=slots,
-        main_probe=probe_cap,
-        stash_slots=s_slots,
-        stash_probe=probe_cap,
+        main_slots=n_buckets * G,
+        stash_slots=stash_buckets * G,
+        bucket=G,
         k=index.k,
         n_shards=n_shards,
     )
@@ -191,12 +179,8 @@ def routed_lookup(hi, lo, valid, sdi: ShardedDeviceIndex, axis: str,
 
     table = sdi.table[0]  # local shard (leading axis is singleton in shard_map)
     stash = sdi.stash[0]
-    ec_main, resolved = _probe(q_hi, q_lo, q_valid, table, sdi.main_slots,
-                               sdi.main_probe, hash_kmer)
-    need_stash = q_valid & ~resolved
-    ec_stash, _ = _probe(q_hi, q_lo, need_stash, stash, sdi.stash_slots,
-                         sdi.stash_probe, hash_kmer_stash)
-    ec_q = jnp.where(resolved, ec_main, ec_stash)
+    ec_q = lookup_ecs(q_hi, q_lo, q_valid, table, sdi.main_slots,
+                      stash, sdi.stash_slots, sdi.bucket)
 
     ec_back = jax.lax.all_to_all(ec_q.reshape(shape), axis, 0, 0,
                                  tiled=True).reshape(D * K)
@@ -240,9 +224,8 @@ class PrefixShardedMapper:
             table=jax.device_put(sdi_host.table, ispec),
             stash=jax.device_put(sdi_host.stash, ispec),
             main_slots=sdi_host.main_slots,
-            main_probe=sdi_host.main_probe,
             stash_slots=sdi_host.stash_slots,
-            stash_probe=sdi_host.stash_probe,
+            bucket=sdi_host.bucket,
             k=sdi_host.k,
             n_shards=sdi_host.n_shards,
         )
@@ -286,9 +269,8 @@ class PrefixShardedMapper:
         rspec = P()
         sdi_spec = ShardedDeviceIndex(
             table=P(iaxis), stash=P(iaxis),
-            main_slots=sdi.main_slots, main_probe=sdi.main_probe,
-            stash_slots=sdi.stash_slots, stash_probe=sdi.stash_probe,
-            k=sdi.k, n_shards=sdi.n_shards,
+            main_slots=sdi.main_slots, stash_slots=sdi.stash_slots,
+            bucket=sdi.bucket, k=sdi.k, n_shards=sdi.n_shards,
         )
         tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
 

@@ -13,17 +13,18 @@ from seekmer_tpu.utils.simulate import random_transcriptome
 
 
 def _host_lookup(index: KMerIndex, key64: int) -> int:
-    """Pure-numpy probe of main+stash tables (mirrors the device loop)."""
+    """Pure-numpy 2-choice bucket lookup (mirrors the device gather)."""
     hi, lo = enc.split_key(np.array([key64], np.uint64), index.k)
-    for table, slots, probe, fn in (
-        (index.table, index.main_slots, index.main_probe, hash_kmer),
-        (index.stash, index.stash_slots, index.stash_probe, hash_kmer_stash),
+    G = index.bucket
+    for table, slots, fn in (
+        (index.table, index.main_slots, hash_kmer),
+        (index.stash, index.stash_slots, hash_kmer_stash),
     ):
-        h = int(fn(hi.view(np.uint32), lo.view(np.uint32))[0] & np.uint32(slots - 1))
-        for d in range(probe):
-            row = table[h + d]
-            if row[0] == EMPTY:
-                break
+        nb = slots // G
+        hb = int(fn(hi.view(np.uint32), lo.view(np.uint32))[0]
+                 & np.uint32(nb - 1))
+        for d in range(G):
+            row = table[hb * G + d]
             if row[0] == hi[0] and row[1] == lo[0]:
                 return int(row[2])
     return -1
@@ -92,22 +93,30 @@ def test_save_load_roundtrip(tmp_path, small_index):
     assert (loaded.lengths == index.lengths).all()
 
 
-def test_offline_placement_properties(rng):
-    """Offline greedy placement = classic linear probing invariants."""
-    homes = rng.integers(0, 64, size=40).astype(np.int64)
-    order, pos = ib._offline_place(homes)
-    hs = homes[order]
-    assert (pos >= hs).all()
-    assert (np.diff(pos) >= 1).all()  # distinct, increasing slots
+def test_bucket_placement_properties(rng):
+    """Every placed key sits inside its home bucket; no slot reused."""
+    n = 3000
+    keys = np.unique(rng.integers(0, 1 << 50, size=n, dtype=np.uint64))
+    hi, lo = enc.split_key(keys, 25)
+    vals = np.arange(keys.size, dtype=np.int32)
+    nb, G = 64, 8
+    table, overflow = ib.build_bucket_table(hi, lo, vals, nb, G, hash_kmer)
+    occ = table[:, 0] != EMPTY
+    assert int(occ.sum()) + int(overflow.sum()) == keys.size
+    # each occupied slot's key hashes to the bucket containing the slot
+    slots = np.flatnonzero(occ)
+    h = hash_kmer(table[slots, 0].view(np.uint32),
+                  table[slots, 1].view(np.uint32)) & np.uint32(nb - 1)
+    assert (slots // G == h.astype(np.int64)).all()
 
 
 def test_overflow_goes_to_stash():
-    """Force tiny probe cap so overflow keys exercise the stash path."""
+    """High load forces full buckets so overflow keys exercise the stash."""
     rng = np.random.default_rng(5)
     n = 5000
     keys = np.unique(rng.integers(0, 1 << 50, size=n, dtype=np.uint64))
     vals = np.arange(keys.size, dtype=np.int32)
-    cfg = IndexConfig(main_probe=3, load_factor=0.9)
+    cfg = IndexConfig(bucket_size=4, load_factor=0.95)
     hi, lo = enc.split_key(keys, 25)
     tables = ib.build_tables(keys, vals, 25, cfg)
     index = KMerIndex(

@@ -77,9 +77,8 @@ def test_lookup_matches_dict(setup):
         lengths[i] = c.size
     hi, lo, valid = pack_canonical(jnp.asarray(codes), jnp.asarray(lengths), k)
     ecs = lookup_ecs(hi, lo, valid, jnp.asarray(index.table),
-                     index.main_slots, index.main_probe,
-                     jnp.asarray(index.stash), index.stash_slots,
-                     index.stash_probe)
+                     index.main_slots, jnp.asarray(index.stash),
+                     index.stash_slots, index.bucket)
     ecs = np.asarray(ecs)
     valid = np.asarray(valid)
     for i, r in enumerate(reads):
