@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--cpu-sample", type=int, default=2000)
     ap.add_argument("--sig-table-bits", type=int, default=20)
+    ap.add_argument("--probe-stride", type=int, default=1,
+                    help="probe every Nth window, run-length gap coverage "
+                         "(1 = bit-exact dense probing)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,8 @@ def main() -> int:
     lengths = np.full(B, L, np.int32)
     weights = np.ones(B, np.int32)
 
-    cfg = MapConfig(batch_size=B, sig_table_bits=args.sig_table_bits)
+    cfg = MapConfig(batch_size=B, sig_table_bits=args.sig_table_bits,
+                    probe_stride=args.probe_stride)
     mapper = Mapper(index, cfg)
 
     def batch(i):

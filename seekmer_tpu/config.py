@@ -34,6 +34,9 @@ class IndexConfig:
     # Stash sized at this load; grown 2x until no stash bucket overflows.
     stash_load: float = 0.25
     stash_min_slots: int = 1024
+    # Store per-k-mer EC run lengths in the aux column (enables the strided
+    # probe mode, MapConfig.probe_stride).
+    run_length_aux: bool = True
 
     def __post_init__(self):
         if not (1 <= self.k <= 29):
@@ -68,6 +71,12 @@ class MapConfig:
     # both mates empty => unmapped. Matches intersect-mates semantics
     # (reference mapper.py paired-end handling [BASELINE.json:8]).
     paired_end: bool = False
+    # Probe every stride-th window and fill the gaps via the index's EC
+    # run-length guarantees, dense-probing uncovered gaps (ops/probe.py
+    # lookup_ecs_strided). 1 = probe every window (bit-exact vs the oracle);
+    # >1 differs only when a sequencing-error window collides with an
+    # indexed k-mer (~1e-7 per window).
+    probe_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -207,6 +207,17 @@ def build_tables(
     )
 
 
+def _fill_aux(table: np.ndarray, unique_keys: np.ndarray, aux: np.ndarray,
+              k: int) -> None:
+    """Write per-key aux values (EC run lengths) into occupied table rows."""
+    from ..encoding import join_key
+
+    occ = table[:, 0] != EMPTY
+    keys = join_key(table[occ, 0], table[occ, 1], k)
+    ki = np.searchsorted(unique_keys, keys)
+    table[occ, 3] = aux[ki]
+
+
 def build_index(
     fasta_path: str,
     gtf_path: Optional[str] = None,
@@ -223,6 +234,41 @@ def build_index(
     return build_index_from_seqs(names, seqs, gtf_path=gtf_path, cfg=cfg)
 
 
+def compute_run_lengths(
+    seqs: list[str], unique_keys: np.ndarray, key_ec: np.ndarray, k: int,
+    cap: int = 127,
+) -> np.ndarray:
+    """Per-k-mer EC-run guarantee ``d``: for every occurrence of the k-mer,
+    in every transcript and either direction, the ``d`` adjacent windows
+    have the SAME EC. Stored in the table's aux column, it lets the device
+    probe sampled positions and provably skip the windows in between
+    (the exact-semantics replacement for the reference mapper's skipping
+    heuristic, SURVEY.md 3.3/7.4).
+    """
+    d_min = np.full(unique_keys.size, cap, dtype=np.int32)
+    for seq in seqs:
+        keys, valid = canonical_kmers(seq_to_codes(seq), k)
+        if keys.size == 0:
+            continue
+        ki = np.searchsorted(unique_keys, keys)
+        ki = np.minimum(ki, unique_keys.size - 1)
+        present = valid & (unique_keys[ki] == keys)
+        ec = np.where(present, key_ec[ki], -1)
+        P = ec.size
+        # run ids over equal-EC stretches (invalid positions break runs)
+        change = np.ones(P, dtype=bool)
+        change[1:] = ec[1:] != ec[:-1]
+        run_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.append(starts, P))
+        pos_in_run = np.arange(P) - starts[run_id]
+        d_fwd = run_len[run_id] - 1 - pos_in_run
+        d_bwd = pos_in_run
+        d = np.minimum(np.minimum(d_fwd, d_bwd), cap).astype(np.int32)
+        np.minimum.at(d_min, ki[present], d[present])
+    return d_min
+
+
 def build_index_from_seqs(
     names: list[str],
     seqs: list[str],
@@ -237,6 +283,10 @@ def build_index_from_seqs(
     log.info("%d distinct %d-mers in %d equivalence classes",
              unique_keys.size, cfg.k, ec_offsets.size - 1)
     tables = build_tables(unique_keys, key_ec, cfg.k, cfg)
+    if cfg.run_length_aux:
+        d_min = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k)
+        _fill_aux(tables["table"], unique_keys, d_min, cfg.k)
+        _fill_aux(tables["stash"], unique_keys, d_min, cfg.k)
 
     genes = None
     if gtf_path is not None:

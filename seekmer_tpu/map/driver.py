@@ -24,7 +24,7 @@ from ..config import MapConfig
 from ..index.store import KMerIndex
 from ..io.fastq import ReadBatch
 from ..ops.kmer_pack import pack_canonical
-from ..ops.probe import lookup_ecs
+from ..ops.probe import lookup_ecs, lookup_ecs_strided
 from .signature import (
     SigTable,
     accumulate,
@@ -85,13 +85,18 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
              codes, lengths, weights, codes2=None, lengths2=None) -> SigTable:
     """One device mapping step (jit-traced per bucket shape)."""
     di = device_index
+    stride = cfg.probe_stride
+
+    def lk(h, l, v):
+        return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
+                                  di.stash, di.stash_slots, di.bucket,
+                                  stride)
+
     hi, lo, valid = pack_canonical(codes, lengths, di.k)
-    ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots,
-                     di.stash, di.stash_slots, di.bucket)
+    ecs = lk(hi, lo, valid)
     if codes2 is not None:
         hi2, lo2, valid2 = pack_canonical(codes2, lengths2, di.k)
-        ecs2 = lookup_ecs(hi2, lo2, valid2, di.table, di.main_slots,
-                          di.stash, di.stash_slots, di.bucket)
+        ecs2 = lk(hi2, lo2, valid2)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
         ecs = jnp.concatenate([ecs, ecs2], axis=1)
         valid = jnp.concatenate([valid, valid2], axis=1)
