@@ -99,6 +99,10 @@ class EMConfig:
     # 100 [BASELINE.json:11]).
     bootstrap_samples: int = 0
     bootstrap_seed: int = 0
+    # EM backend: "auto" picks the fused Pallas fixed-point kernel (dense
+    # membership matrix resident in VMEM, MXU contractions) when the system
+    # fits and float32 suffices, else the flat-CSR segment-sum path.
+    backend: str = "auto"  # "auto" | "csr" | "pallas"
 
 
 @dataclasses.dataclass(frozen=True)

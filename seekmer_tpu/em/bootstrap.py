@@ -77,7 +77,30 @@ def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
 
 
 def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
-    """Returns est_counts per replicate: float[B, T]."""
+    """Returns est_counts per replicate: float[B, T].
+
+    Uses the fused Pallas fixed-point kernel when the dense membership and
+    replicate batch fit VMEM (the replicate axis turns the EM contractions
+    into genuine MXU matmuls); falls back to the vmapped CSR loop.
+    """
+    from .em import _pallas_interpret, _use_pallas, dense_membership
+
+    B, T = cfg.bootstrap_samples, ec.num_transcripts
+    if _use_pallas(ec, cfg, replicates=B):
+        from ..ops.em_pallas import em_fixed_point
+
+        counts = ec.counts.astype(jnp.float32)
+        key = jax.random.PRNGKey(cfg.bootstrap_seed)
+        cmat = resample_counts(key, counts, B)  # [B, E]
+        eff = effective_lengths(jnp.asarray(lengths), cfg, jnp.float32)
+        inv_eff = (1.0 / eff)[None, :]
+        alpha0 = jnp.broadcast_to(
+            cmat.sum(axis=1, keepdims=True) / T, (B, T)).astype(jnp.float32)
+        alpha, _ = em_fixed_point(
+            dense_membership(ec), cmat, inv_eff, alpha0, cfg, T,
+            interpret=_pallas_interpret(),
+        )
+        return alpha
     alpha, _ = _bootstrap_jit(
         ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),
         ec.num_ecs, ec.num_transcripts, cfg,

@@ -124,13 +124,54 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
     return alpha, it
 
 
+def dense_membership(ec: ECTable) -> jnp.ndarray:
+    """Dense EC-membership matrix float32[E, T] from the flat CSR."""
+    M = jnp.zeros((ec.num_ecs, ec.num_transcripts), jnp.float32)
+    return M.at[ec.ec_ids, ec.txp_ids].set(1.0)
+
+
+def _pallas_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _use_pallas(ec: ECTable, cfg: EMConfig, replicates: int = 1) -> bool:
+    from ..ops.em_pallas import fits_pallas
+
+    if cfg.backend == "csr" or cfg.use_x64:
+        return False
+    ok = fits_pallas(ec.num_ecs, ec.num_transcripts, replicates)
+    if cfg.backend == "pallas" and not ok:
+        raise ValueError("system too large for the Pallas EM kernel")
+    return ok
+
+
 def run_em(
     ec: ECTable, lengths, cfg: EMConfig = EMConfig(), alpha_init=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM to convergence. Returns (alpha float[T], iterations int32).
 
     ``alpha_init`` warm-starts the fixed point (checkpoint resume,
-    SURVEY.md 5.3: "EM restarts from last alpha snapshot")."""
+    SURVEY.md 5.3: "EM restarts from last alpha snapshot"). Backend per
+    EMConfig.backend: the fused Pallas kernel when the dense membership
+    matrix fits VMEM, else the flat-CSR while_loop.
+    """
+    if _use_pallas(ec, cfg):
+        from ..ops.em_pallas import em_fixed_point
+
+        T = ec.num_transcripts
+        eff = effective_lengths(jnp.asarray(lengths), cfg, jnp.float32)
+        inv_eff = (1.0 / eff)[None, :]
+        N = ec.counts.sum()
+        alpha0 = (jnp.full((1, T), N / T, jnp.float32)
+                  if alpha_init is None
+                  else jnp.asarray(alpha_init, jnp.float32)[None, :])
+        alpha, iters = em_fixed_point(
+            dense_membership(ec), ec.counts.astype(jnp.float32)[None, :],
+            inv_eff, alpha0, cfg, T, interpret=_pallas_interpret(),
+        )
+        return alpha[0], iters
     return _run_em_jit(
         ec.counts,
         ec.ec_ids,
