@@ -51,6 +51,14 @@ def _add_infer(sub):
                    help="batches between checkpoints")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--data-shards", type=int, default=1,
+                   help="data-parallel mesh axis size (config 3)")
+    p.add_argument("--index-shards", type=int, default=1,
+                   help="prefix-shard the index over this many devices "
+                        "(config 4)")
+    p.add_argument("--probe-stride", type=int, default=1,
+                   help="probe every Nth window with run-length coverage "
+                        "(1 = bit-exact dense)")
     return p
 
 
@@ -86,7 +94,7 @@ def cmd_index(args) -> int:
 def cmd_infer(args) -> int:
     import os
 
-    from .config import EMConfig, MapConfig, PipelineConfig
+    from .config import EMConfig, MapConfig, PipelineConfig, ShardConfig
     from .index.store import KMerIndex
     from .io.writer import write_abundance, write_bootstrap, write_run_info
     from .models.quantifier import Quantifier
@@ -98,6 +106,7 @@ def cmd_infer(args) -> int:
             max_ecs_per_read=args.max_ecs_per_read,
             sig_table_bits=args.sig_table_bits,
             paired_end=bool(args.mates),
+            probe_stride=args.probe_stride,
         ),
         em=EMConfig(
             mean_fragment_length=args.fragment_length,
@@ -106,6 +115,11 @@ def cmd_infer(args) -> int:
             bootstrap_samples=args.bootstrap,
             bootstrap_seed=args.seed,
             use_x64=args.x64,
+        ),
+        shard=ShardConfig(
+            data_axis=args.data_shards,
+            index_axis=args.index_shards,
+            index_mode="prefix" if args.index_shards > 1 else "replicated",
         ),
     )
     from .utils.profiling import maybe_trace

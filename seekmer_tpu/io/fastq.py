@@ -191,3 +191,82 @@ def batch_reads_native(
         for codes, lengths in stream_packed(path, cfg.max_read_len):
             yield from acc.add(codes, lengths)
     yield from acc.flush()
+
+
+def _aligned_chunks(stream1, stream2):
+    """Zip two (codes, lengths) block streams into row-aligned sub-blocks."""
+    buf1 = buf2 = None
+    pos1 = pos2 = 0
+    while True:
+        if buf1 is None or pos1 == buf1[0].shape[0]:
+            buf1, pos1 = next(stream1, None), 0
+        if buf2 is None or pos2 == buf2[0].shape[0]:
+            buf2, pos2 = next(stream2, None), 0
+        if buf1 is None or buf2 is None:
+            if (buf1 is None) != (buf2 is None):
+                raise ValueError("paired FASTQ files have unequal read counts")
+            return
+        n = min(buf1[0].shape[0] - pos1, buf2[0].shape[0] - pos2)
+        yield (buf1[0][pos1 : pos1 + n], buf1[1][pos1 : pos1 + n],
+               buf2[0][pos2 : pos2 + n], buf2[1][pos2 : pos2 + n])
+        pos1 += n
+        pos2 += n
+
+
+def batch_read_pairs_native(
+    paths1, paths2, cfg: MapConfig
+) -> Iterator[ReadBatch]:
+    """Paired-end batching through the C packer; mates bucket together by
+    the pair's max length. Falls back to the Python path."""
+    from ..native.packer import get_lib, stream_packed
+
+    if get_lib() is None:
+        pairs = zip(read_fastq_many(paths1), read_fastq_many(paths2))
+        yield from batch_read_pairs(pairs, cfg)
+        return
+
+    def stream(paths):
+        for p in paths:
+            yield from stream_packed(p, cfg.max_read_len)
+
+    B = cfg.batch_size
+    lb = cfg.length_bucket
+    pending: dict[int, list] = {}
+    for c1, l1, c2, l2 in _aligned_chunks(stream(paths1), stream(paths2)):
+        buckets = np.minimum(
+            (np.maximum(np.maximum(l1, l2), 1) + lb - 1) // lb * lb,
+            cfg.max_read_len)
+        for bucket in np.unique(buckets):
+            sel = buckets == bucket
+            r1, s1 = c1[sel, :bucket], np.minimum(l1[sel], bucket)
+            r2, s2 = c2[sel, :bucket], np.minimum(l2[sel], bucket)
+            st = pending.get(bucket)
+            if st is None:
+                st = [np.full((B, bucket), INVALID, np.uint8),
+                      np.zeros(B, np.int32),
+                      np.full((B, bucket), INVALID, np.uint8),
+                      np.zeros(B, np.int32), 0]
+                pending[bucket] = st
+            i = 0
+            while i < r1.shape[0]:
+                take = min(B - st[4], r1.shape[0] - i)
+                f = st[4]
+                st[0][f : f + take] = r1[i : i + take]
+                st[1][f : f + take] = s1[i : i + take]
+                st[2][f : f + take] = r2[i : i + take]
+                st[3][f : f + take] = s2[i : i + take]
+                st[4] += take
+                i += take
+                if st[4] == B:
+                    yield ReadBatch(st[0], st[1], np.ones(B, np.int32),
+                                    codes2=st[2], lengths2=st[3])
+                    pending[bucket] = st = [
+                        np.full((B, bucket), INVALID, np.uint8),
+                        np.zeros(B, np.int32),
+                        np.full((B, bucket), INVALID, np.uint8),
+                        np.zeros(B, np.int32), 0]
+    for bucket, st in pending.items():
+        if st[4]:
+            w = np.zeros(B, np.int32)
+            w[: st[4]] = 1
+            yield ReadBatch(st[0], st[1], w, codes2=st[2], lengths2=st[3])

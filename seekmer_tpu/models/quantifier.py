@@ -55,8 +55,8 @@ class Quantifier:
         checkpoint_every: int = 50,
     ) -> QuantResult:
         skip = 0
-        mapper = Mapper(self.index, self.cfg.map)
-        if checkpoint_path:
+        mapper = self._make_mapper()
+        if checkpoint_path and isinstance(mapper, Mapper):
             state = mapper.restore_checkpoint(checkpoint_path)
             if state:
                 skip = state["reads_consumed"]
@@ -64,14 +64,19 @@ class Quantifier:
                          skip)
 
         if mate_paths:
-            pairs = zip(
-                read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
-            )
             if skip:
                 import itertools
 
+                pairs = zip(
+                    read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
+                )
                 pairs = itertools.islice(pairs, skip, None)
-            batches = batch_read_pairs(pairs, self.cfg.map)
+                batches = batch_read_pairs(pairs, self.cfg.map)
+            else:
+                from ..io.fastq import batch_read_pairs_native
+
+                batches = batch_read_pairs_native(
+                    fastq_paths, mate_paths, self.cfg.map)
         else:
             from ..io.fastq import batch_reads_native
 
@@ -98,15 +103,43 @@ class Quantifier:
             batches = batch_reads(reads_b, self.cfg.map)
         return self.quantify_batches(batches)
 
+    def _make_mapper(self):
+        """Mapper for the configured parallelism mode (SURVEY.md 2.2):
+        single-chip, data-parallel (config 3), or prefix-sharded (config 4)."""
+        shard = self.cfg.shard
+        if shard.index_mode == "prefix" and shard.index_axis != 1:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.prefix_shard import PrefixShardedMapper
+
+            self._mesh = make_mesh(shard)
+            return PrefixShardedMapper(self.index, self.cfg.map, shard,
+                                       mesh=self._mesh)
+        if shard.data_axis != 1:
+            from ..parallel.data_parallel import DataParallelMapper
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(shard)
+            return DataParallelMapper(self.index, self.cfg.map, shard,
+                                      mesh=self._mesh)
+        self._mesh = None
+        return Mapper(self.index, self.cfg.map)
+
     def quantify_batches(self, batches: Iterable[ReadBatch],
-                         mapper: Optional[Mapper] = None,
+                         mapper=None,
                          checkpoint_path: Optional[str] = None,
                          checkpoint_every: int = 50) -> QuantResult:
         t0 = time.perf_counter()
         if mapper is None:
-            mapper = Mapper(self.index, self.cfg.map)
-        result = mapper.run(batches, checkpoint_path=checkpoint_path,
-                            checkpoint_every=checkpoint_every)
+            mapper = self._make_mapper()
+        if checkpoint_path and not isinstance(mapper, Mapper):
+            log.warning("checkpointing is only supported single-chip; "
+                        "ignoring --checkpoint")
+            checkpoint_path = None
+        if isinstance(mapper, Mapper):
+            result = mapper.run(batches, checkpoint_path=checkpoint_path,
+                                checkpoint_every=checkpoint_every)
+        else:
+            result = mapper.run(batches)
         t_map = time.perf_counter() - t0
         log.info(
             "mapped %d/%d reads (%d distinct signatures, %d overflow)",
@@ -128,8 +161,15 @@ class Quantifier:
         ec = build_ec_table(member_lists, counts, T, dtype=dtype)
         lengths = self.index.lengths
 
+        mesh = getattr(self, "_mesh", None)
         t0 = time.perf_counter()
-        alpha, iters = run_em(ec, lengths, em_cfg)
+        if mesh is not None and self.cfg.shard.data_axis > 1:
+            from ..parallel.collective_em import run_em_collective
+
+            alpha, iters = run_em_collective(ec, lengths, em_cfg, mesh,
+                                             self.cfg.shard)
+        else:
+            alpha, iters = run_em(ec, lengths, em_cfg)
         tpm = tpm_from_alpha(alpha, lengths, em_cfg)
         alpha.block_until_ready()
         t_em = time.perf_counter() - t0
@@ -137,9 +177,16 @@ class Quantifier:
         boot = None
         if em_cfg.bootstrap_samples > 0:
             t0 = time.perf_counter()
-            boot = np.asarray(
-                em_bootstrap.run_bootstrap(ec, lengths, em_cfg)
-            )
+            if (mesh is not None and self.cfg.shard.data_axis > 1
+                    and em_cfg.bootstrap_samples % self.cfg.shard.data_axis == 0):
+                from ..parallel.bootstrap_shard import run_bootstrap_sharded
+
+                boot = np.asarray(run_bootstrap_sharded(
+                    ec, lengths, em_cfg, mesh, self.cfg.shard))
+            else:
+                boot = np.asarray(
+                    em_bootstrap.run_bootstrap(ec, lengths, em_cfg)
+                )
             log.info("bootstrap: %d replicates in %.2fs",
                      em_cfg.bootstrap_samples, time.perf_counter() - t0)
 

@@ -66,6 +66,40 @@ def test_stream_matches_python(tmp_path, reads, gz):
     assert got_lens == [len(r) for r in reads]
 
 
+def test_paired_native_equals_python(tmp_path, reads):
+    from seekmer_tpu.io.fastq import batch_read_pairs, batch_read_pairs_native
+
+    mates = [r[::-1] for r in reads]  # arbitrary distinct mate content
+    p1 = _mk_fastq(tmp_path, reads, name="r1.fq")
+    p2 = _mk_fastq(tmp_path, mates, gz=True, name="r2.fq")
+    cfg = MapConfig(batch_size=64)
+    a = list(batch_read_pairs_native([p1], [p2], cfg))
+    b = list(batch_read_pairs(
+        zip((r.encode() for r in reads), (m.encode() for m in mates)), cfg))
+
+    def flatten(batches):
+        rows = []
+        for batch in batches:
+            for i in range(batch.codes.shape[0]):
+                if batch.weights[i]:
+                    rows.append((
+                        tuple(batch.codes[i, : batch.lengths[i]].tolist()),
+                        tuple(batch.codes2[i, : batch.lengths2[i]].tolist()),
+                    ))
+        return sorted(rows)
+
+    assert flatten(a) == flatten(b)
+
+
+def test_paired_native_unequal_counts(tmp_path, reads):
+    from seekmer_tpu.io.fastq import batch_read_pairs_native
+
+    p1 = _mk_fastq(tmp_path, reads, name="u1.fq")
+    p2 = _mk_fastq(tmp_path, reads[:-5], name="u2.fq")
+    with pytest.raises(ValueError, match="unequal"):
+        list(batch_read_pairs_native([p1], [p2], MapConfig(batch_size=64)))
+
+
 def test_batches_native_equals_python(tmp_path, reads):
     p = _mk_fastq(tmp_path, reads)
     cfg = MapConfig(batch_size=64)
