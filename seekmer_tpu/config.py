@@ -26,11 +26,12 @@ class IndexConfig:
     k: int = 25
     # Target load factor (keys / total slots) of the bucketized main table.
     load_factor: float = 0.5
-    # Slots per bucket. One device gather fetches a whole bucket (16 slots x
-    # 16B = 256B); measured TPU gather cost is per-LANE, not per-byte, so a
-    # key is found in exactly one gather of its home bucket (or one more in
-    # the stash for bucket-overflow keys) — no probe loop.
-    bucket_size: int = 16
+    # Slots per bucket. One device gather fetches a whole bucket; measured
+    # TPU gather cost is per-LANE, not per-byte (one 512B HBM transaction
+    # either way), so big buckets are free AND make full buckets —the only
+    # reason a lookup ever needs the stash— vanishingly rare
+    # (P[Poisson(16) >= 32] ~ 2e-4 at load 0.5).
+    bucket_size: int = 32
     # Stash sized at this load; grown 2x until no stash bucket overflows.
     stash_load: float = 0.25
     stash_min_slots: int = 1024

@@ -1,19 +1,22 @@
 """Loop-free bucketized k-mer lookup on device.
 
 Replaces the reference mapper's per-k-mer hash-probe walk (SURVEY.md call
-stack 3.3) with a design driven by the measured TPU gather cost model
-(benchmarks/micro_gather.py): gathers cost per-LANE, independent of row
-width up to 64B+. The index therefore guarantees every key lives in its
-home bucket of the main table OR its home bucket of the stash
-(index/build.py), so a lookup is:
+stack 3.3) with a design driven by the measured TPU cost model
+(benchmarks/micro_gather.py): gathers AND scatters cost per-LANE,
+independent of row width (one HBM transaction per lane either way). Hence:
 
-  1. ONE gather of the 16-slot home bucket + vectorized compare;
-  2. for the rare lanes whose main bucket was full and had no match
-     (typically <2%), a cumsum-compacted second gather of the stash bucket.
+  * the index guarantees every key lives in its home bucket of the main
+    table OR its home bucket of the stash (index/build.py), so a lookup is
+    ONE wide bucket gather + vectorized compare;
+  * buckets are large (32 slots = 512B row) so a FULL home bucket — the
+    only case that must consult the stash — is vanishingly rare;
+  * the rare stash lanes are BLOCK-compacted: per-32-lane-block need flags
+    (N/32 of them) drive the compaction instead of per-lane scatters, so
+    the second gather costs O(needy blocks), not O(N).
 
 Absence needs no empty-slot scanning: no match in both home buckets proves
-the key is not indexed. No while_loop, no probe rounds — pure static
-dataflow that XLA pipelines freely.
+the key is not indexed. No while_loop, no probe rounds — static dataflow
+that XLA pipelines freely.
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ from .hash import hash_kmer, hash_kmer_stash
 
 EMPTY = jnp.int32(-1)
 MISS = jnp.int32(-1)
+
+_BLK = 32  # block-compaction granularity (lanes)
 
 
 def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
@@ -47,33 +52,48 @@ def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
     return ec, aux, found, full
 
 
-def lookup_ecs(
-    hi,
-    lo,
-    valid,
-    table,
-    main_slots: int,
-    stash,
-    stash_slots: int,
-    bucket: int,
-):
-    """k-mer (hi, lo) lanes -> EC ids (MISS = -1 for absent/invalid).
+def block_compact(need, max_blocks: int):
+    """Compact needy lanes at 32-lane-block granularity.
 
-    Accepts any lane shape; flattens internally. The stash pass runs on a
-    cumsum-compacted N/4 sub-array (overflow lanes beyond that cap — never
-    seen in practice — are conservatively counted as misses).
+    Args:
+      need: bool[N] (N % 32 == 0).
+      max_blocks: static cap on compacted blocks.
+
+    Returns (lane_idx int32[max_blocks*32] source lane per compacted slot
+    (N for filler slots), lost int32[] needy lanes beyond the cap).
+    Compaction cost scales with N/32 block flags, not N lanes.
     """
-    ec, _ = lookup_ecs_aux(hi, lo, valid, table, main_slots, stash,
-                           stash_slots, bucket)
-    return ec
+    N = need.shape[0]
+    NB = N // _BLK
+    blk_need = need.reshape(NB, _BLK).any(axis=1)
+    rank = jnp.cumsum(blk_need.astype(jnp.int32)) - 1
+    ok = blk_need & (rank < max_blocks)
+    lost_blocks = blk_need & ~ok
+    lost = jnp.where(
+        lost_blocks, need.reshape(NB, _BLK).sum(axis=1), 0).sum()
+    pos = jnp.where(ok, rank, max_blocks)
+    cb = jnp.full(max_blocks + 1, NB, jnp.int32).at[pos].set(
+        jnp.arange(NB, dtype=jnp.int32), mode="drop")
+    lane_idx = (cb[:max_blocks, None] * _BLK
+                + jnp.arange(_BLK, dtype=jnp.int32)[None, :]).reshape(-1)
+    lane_idx = jnp.minimum(lane_idx, N)  # filler blocks point at the pad lane
+    return lane_idx, lost.astype(jnp.int32)
+
+
+def _pad_to_block(x, fill):
+    N = x.shape[0]
+    Np = -(-N // _BLK) * _BLK
+    if Np == N:
+        return x
+    return jnp.concatenate([x, jnp.full(Np - N, fill, x.dtype)])
 
 
 def lookup_ecs_aux(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
     bucket: int,
 ):
-    """As lookup_ecs, but also returns the matched rows' aux column (the
-    per-k-mer EC run length written by the index builder)."""
+    """Bucketized lookup returning (ec, aux) with aux = the per-k-mer EC
+    run length written by the index builder. Any input lane shape."""
     shape = hi.shape
     hi_f = hi.reshape(-1)
     lo_f = lo.reshape(-1)
@@ -86,27 +106,48 @@ def lookup_ecs_aux(
     ec = jnp.where(hit, ec, MISS)
     aux = jnp.where(hit, aux, 0)
 
-    need_stash = valid_f & ~found & full
-    # cumsum-compact the stash lanes: rank < N2 participate
-    N2 = max(N // 4, 64)
-    rank = jnp.cumsum(need_stash.astype(jnp.int32)) - 1
-    ok = need_stash & (rank < N2)
-    pos = jnp.where(ok, rank, N2)
-    c_hi = jnp.zeros(N2 + 1, jnp.int32).at[pos].set(hi_f, mode="drop")
-    c_lo = jnp.zeros(N2 + 1, jnp.int32).at[pos].set(lo_f, mode="drop")
-    idx = jnp.arange(N, dtype=jnp.int32)
-    c_src = jnp.full(N2 + 1, N, jnp.int32).at[pos].set(
-        jnp.where(ok, idx, N), mode="drop")
+    need = _pad_to_block(valid_f & ~found & full, False)
+    max_blocks = max(need.shape[0] // _BLK // 4, 16)
+    lane_idx, lost = block_compact(need, max_blocks)
 
-    ec2, aux2, found2, _ = _bucket_lookup(c_hi[:N2], c_lo[:N2], stash,
-                                          stash_slots, bucket,
-                                          hash_kmer_stash)
-    ec_ext = jnp.concatenate([ec, jnp.zeros(1, jnp.int32)])
-    aux_ext = jnp.concatenate([aux, jnp.zeros(1, jnp.int32)])
-    src = jnp.where(found2, c_src[:N2], N)
-    ec_ext = ec_ext.at[src].set(jnp.where(found2, ec2, 0), mode="drop")
-    aux_ext = aux_ext.at[src].set(jnp.where(found2, aux2, 0), mode="drop")
-    return ec_ext[:N].reshape(shape), aux_ext[:N].reshape(shape)
+    hi_ext = jnp.concatenate([hi_f, jnp.zeros(1, jnp.int32)])
+    lo_ext = jnp.concatenate([lo_f, jnp.zeros(1, jnp.int32)])
+    need_ext = jnp.concatenate([need[:N], jnp.zeros(1, bool)])
+
+    def compacted(_):
+        c_hi = hi_ext[lane_idx]
+        c_lo = lo_ext[lane_idx]
+        c_need = need_ext[jnp.minimum(lane_idx, N)]
+        ec2, aux2, found2, _ = _bucket_lookup(
+            c_hi, c_lo, stash, stash_slots, bucket, hash_kmer_stash)
+        write = c_need & found2
+        dst = jnp.where(write, lane_idx, N)
+        ec_ext = jnp.concatenate([ec, jnp.zeros(1, jnp.int32)])
+        aux_ext = jnp.concatenate([aux, jnp.zeros(1, jnp.int32)])
+        ec_ext = ec_ext.at[dst].set(jnp.where(write, ec2, 0), mode="drop")
+        aux_ext = aux_ext.at[dst].set(jnp.where(write, aux2, 0), mode="drop")
+        return ec_ext[:N], aux_ext[:N]
+
+    def full_width(_):
+        # cap overflow (pathological need density): probe the stash for
+        # every lane — correct at full cost
+        ec2, aux2, found2, _ = _bucket_lookup(
+            hi_f, lo_f, stash, stash_slots, bucket, hash_kmer_stash)
+        write = need[:N] & found2
+        return (jnp.where(write, ec2, ec), jnp.where(write, aux2, aux))
+
+    ec, aux = jax.lax.cond(lost > 0, full_width, compacted, None)
+    return ec.reshape(shape), aux.reshape(shape)
+
+
+def lookup_ecs(
+    hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
+    bucket: int,
+):
+    """k-mer (hi, lo) lanes -> EC ids (MISS = -1 for absent/invalid)."""
+    ec, _ = lookup_ecs_aux(hi, lo, valid, table, main_slots, stash,
+                           stash_slots, bucket)
+    return ec
 
 
 def lookup_ecs_strided(
@@ -119,10 +160,11 @@ def lookup_ecs_strided(
     run-length ``d`` of each hit — "d adjacent windows provably share this
     EC in every indexed context" — to fill the windows between samples.
     Gaps not covered from either side (sample missed, or d too small:
-    error windows, EC-run boundaries) are cumsum-compacted and probed
+    error windows, EC-run boundaries) are block-compacted and probed
     densely, so the result equals the dense lookup except for reads whose
     error-windows collide with indexed k-mers (~1e-7 per window; see
-    MapConfig.probe_stride).
+    MapConfig.probe_stride). Uncovered lanes are contiguous runs, which is
+    exactly what block compaction likes.
 
     Returns ec int32[B, P].
     """
@@ -152,8 +194,7 @@ def lookup_ecs_strided(
     def spread_right(x):
         # right sample of each gap: samples 1..Ps-1 then the extra (P-1)
         rs = jnp.concatenate([x[:, 1:Ps], x[:, Ps:]], axis=1)
-        full = jnp.repeat(rs, s, axis=1)[:, :P]
-        return full
+        return jnp.repeat(rs, s, axis=1)[:, :P]
 
     ec_l, d_l = spread_left(ec_s), spread_left(d_s)
     ec_r, d_r = spread_right(ec_s), spread_right(d_s)
@@ -170,25 +211,31 @@ def lookup_ecs_strided(
     fill = jnp.where(cov_l, ec_l, jnp.where(cov_r, ec_r, MISS))
     need = ~is_sample & ~cov_l & ~cov_r & valid
 
-    # dense-probe the uncovered lanes, compacted
-    need_f = need.reshape(-1)
     N = B * P
-    N2 = max(N // 2, 64)
-    rank = jnp.cumsum(need_f.astype(jnp.int32)) - 1
-    ok = need_f & (rank < N2)
-    cpos = jnp.where(ok, rank, N2)
-    hi_f, lo_f = hi.reshape(-1), lo.reshape(-1)
-    c_hi = jnp.zeros(N2 + 1, jnp.int32).at[cpos].set(hi_f, mode="drop")
-    c_lo = jnp.zeros(N2 + 1, jnp.int32).at[cpos].set(lo_f, mode="drop")
-    c_ok = jnp.zeros(N2 + 1, bool).at[cpos].set(ok, mode="drop")
-    idx = jnp.arange(N, dtype=jnp.int32)
-    c_src = jnp.full(N2 + 1, N, jnp.int32).at[cpos].set(
-        jnp.where(ok, idx, N), mode="drop")
-    ec_d = lookup_ecs(c_hi[:N2], c_lo[:N2], c_ok[:N2], table, main_slots,
-                      stash, stash_slots, bucket)
+    need_f = _pad_to_block(need.reshape(-1), False)
+    max_blocks = max(need_f.shape[0] // _BLK // 2, 16)
+    lane_idx, lost = block_compact(need_f, max_blocks)
 
     ec0 = jnp.where(is_sample, ec_sampled, fill)
-    ec_ext = jnp.concatenate([ec0.reshape(-1), jnp.zeros(1, jnp.int32)])
-    ec_ext = ec_ext.at[c_src[:N2]].set(ec_d, mode="drop")
-    ec = ec_ext[:N].reshape(B, P)
+
+    def compacted(_):
+        hi_ext = jnp.concatenate([hi.reshape(-1), jnp.zeros(1, jnp.int32)])
+        lo_ext = jnp.concatenate([lo.reshape(-1), jnp.zeros(1, jnp.int32)])
+        need_ext = jnp.concatenate([need.reshape(-1), jnp.zeros(1, bool)])
+        li = jnp.minimum(lane_idx, N)
+        c_hi, c_lo, c_need = hi_ext[li], lo_ext[li], need_ext[li]
+        ec_d = lookup_ecs(c_hi, c_lo, c_need, table, main_slots, stash,
+                          stash_slots, bucket)
+        ec_ext = jnp.concatenate([ec0.reshape(-1), jnp.zeros(1, jnp.int32)])
+        dst = jnp.where(c_need, li, N)
+        return ec_ext.at[dst].set(ec_d, mode="drop")[:N].reshape(B, P)
+
+    def dense_fallback(_):
+        # cap overflow (very high error rate / tiny run lengths): probe
+        # every uncovered lane full-width — correct at full cost
+        ec_d = lookup_ecs(hi, lo, need, table, main_slots, stash,
+                          stash_slots, bucket)
+        return jnp.where(need, ec_d, ec0)
+
+    ec = jax.lax.cond(lost > 0, dense_fallback, compacted, None)
     return jnp.where(valid, ec, MISS)
