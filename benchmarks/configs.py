@@ -1,0 +1,223 @@
+"""Benchmark drivers for the five BASELINE measurement configs
+[BASELINE.json:6-12]. Each prints one JSON line; see also bench.py (the
+driver-facing config-1 benchmark).
+
+  python benchmarks/configs.py 1   # single-end, ~1k transcripts, 1 chip
+  python benchmarks/configs.py 2   # paired-end, GENCODE-scale isoform
+                                   #   transcriptome, replicated index
+  python benchmarks/configs.py 3   # data-parallel mapping over the mesh
+  python benchmarks/configs.py 4   # prefix-sharded index, all_to_all
+  python benchmarks/configs.py 5   # 100 bootstrap replicates via vmap
+
+Configs 3/4 run on whatever devices are visible (the real pod for
+production; set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
+device_count=8 for a fake mesh smoke run — scaling numbers then measure
+plumbing, not ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _emit(metric, value, unit, extra):
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, "extra": extra}))
+
+
+def _world(transcripts, isoform=False, seed=0):
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.utils.simulate import (
+        isoform_transcriptome, random_transcriptome,
+    )
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    if isoform:
+        names, seqs, genes = isoform_transcriptome(
+            rng, num_genes=transcripts // 3)
+        index = build_index_from_seqs(names, seqs, genes=genes)
+    else:
+        names, seqs = random_transcriptome(
+            rng, num_transcripts=transcripts, min_len=300, max_len=3000,
+            shared_prefix_frac=0.5)
+        index = build_index_from_seqs(names, seqs)
+    build_s = time.perf_counter() - t0
+    print(f"[config] index: {index.num_kmers} kmers, {index.num_ecs} ECs, "
+          f"{index.num_transcripts} txps in {build_s:.1f}s",
+          file=sys.stderr, flush=True)
+    return rng, index, seqs, build_s
+
+
+def _time_mapper(mapper, batches, n_reads):
+    import jax
+
+    first = batches[0]
+    mapper.feed(first)
+    jax.block_until_ready(mapper.table)
+    t0 = time.perf_counter()
+    for b in batches[1:]:
+        mapper.feed(b)
+    jax.block_until_ready(mapper.table)
+    dt = time.perf_counter() - t0
+    return (len(batches) - 1) * n_reads / dt
+
+
+def config1(args):
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper
+    from seekmer_tpu.utils.simulate import simulate_packed_batches
+
+    rng, index, seqs, _ = _world(args.transcripts)
+    B, L = args.batch, args.read_len
+    codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    cfg = MapConfig(batch_size=B, probe_stride=args.stride)
+    mapper = Mapper(index, cfg)
+    batches = [ReadBatch(codes[i], np.full(B, L, np.int32),
+                         np.ones(B, np.int32)) for i in range(len(codes))]
+    rps = _time_mapper(mapper, batches, B)
+    _emit("config1_reads_per_s_per_chip", rps, "reads/s",
+          {"stride": args.stride})
+
+
+def config2(args):
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper
+    from seekmer_tpu.utils.simulate import simulate_packed_batches
+
+    rng, index, seqs, build_s = _world(args.transcripts, isoform=True)
+    B, L = args.batch, args.read_len
+    c1, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    c2, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    cfg = MapConfig(batch_size=B, paired_end=True, probe_stride=args.stride,
+                    sig_table_bits=22)
+    mapper = Mapper(index, cfg)
+    lengths = np.full(B, L, np.int32)
+    w = np.ones(B, np.int32)
+    batches = [ReadBatch(c1[i], lengths, w, codes2=c2[i], lengths2=lengths)
+               for i in range(len(c1))]
+    rps = _time_mapper(mapper, batches, B)
+    _emit("config2_pairs_per_s_per_chip", rps, "pairs/s",
+          {"transcripts": index.num_transcripts,
+           "kmers": index.num_kmers, "index_build_s": round(build_s, 1),
+           "stride": args.stride})
+
+
+def config3(args):
+    import jax
+
+    from seekmer_tpu.config import MapConfig, ShardConfig
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper
+    from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+    from seekmer_tpu.utils.simulate import simulate_packed_batches
+
+    D = len(jax.devices())
+    rng, index, seqs, _ = _world(args.transcripts)
+    B, L = args.batch * D, args.read_len
+    codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    lengths = np.full(B, L, np.int32)
+    w = np.ones(B, np.int32)
+    batches = [ReadBatch(codes[i], lengths, w) for i in range(len(codes))]
+
+    cfg1 = MapConfig(batch_size=args.batch, probe_stride=args.stride)
+    single = Mapper(index, cfg1)
+    b1 = [ReadBatch(codes[i][: args.batch], lengths[: args.batch],
+                    w[: args.batch]) for i in range(len(codes))]
+    rps1 = _time_mapper(single, b1, args.batch)
+
+    cfgD = MapConfig(batch_size=B, probe_stride=args.stride)
+    dp = DataParallelMapper(index, cfgD, ShardConfig(data_axis=D))
+    rpsD = _time_mapper(dp, batches, B)
+    eff = rpsD / (rps1 * D)
+    _emit("config3_scaling_efficiency", eff, "fraction",
+          {"devices": D, "reads_per_s_1": round(rps1), "reads_per_s_D": round(rpsD),
+           "platform": jax.devices()[0].platform})
+
+
+def config4(args):
+    import jax
+
+    from seekmer_tpu.config import MapConfig, ShardConfig
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.parallel.mesh import make_mesh
+    from seekmer_tpu.parallel.prefix_shard import PrefixShardedMapper
+    from seekmer_tpu.utils.simulate import simulate_packed_batches
+
+    D = len(jax.devices())
+    rng, index, seqs, _ = _world(args.transcripts)
+    B, L = args.batch * D, args.read_len
+    codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    shard_cfg = ShardConfig(data_axis=1, index_axis=D, index_mode="prefix")
+    ps = PrefixShardedMapper(index, MapConfig(batch_size=B,
+                                              probe_stride=1),
+                             shard_cfg, mesh=make_mesh(shard_cfg))
+    lengths = np.full(B, L, np.int32)
+    w = np.ones(B, np.int32)
+    batches = [ReadBatch(codes[i], lengths, w) for i in range(len(codes))]
+    rps = _time_mapper(ps, batches, B)
+    _emit("config4_sharded_reads_per_s", rps, "reads/s",
+          {"index_shards": D, "routing_overflow": ps.routing_overflow,
+           "platform": jax.devices()[0].platform})
+
+
+def config5(args):
+    import jax
+
+    from seekmer_tpu.config import EMConfig, MapConfig
+    from seekmer_tpu.em import bootstrap as bs
+    from seekmer_tpu.em.em import build_ec_table
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper, resolve_signatures
+    from seekmer_tpu.utils.simulate import simulate_packed_batches
+
+    rng, index, seqs, _ = _world(args.transcripts)
+    B, L = args.batch, args.read_len
+    codes, _ = simulate_packed_batches(rng, seqs, 2, B, L)
+    mapper = Mapper(index, MapConfig(batch_size=B))
+    for i in range(2):
+        mapper.feed(ReadBatch(codes[i], np.full(B, L, np.int32),
+                              np.ones(B, np.int32)))
+    members, counts, _ = resolve_signatures(mapper.finalize(), index)
+    ec = build_ec_table(members, counts, index.num_transcripts)
+
+    cfg = EMConfig(bootstrap_samples=100, bootstrap_seed=1)
+    boot = bs.run_bootstrap(ec, index.lengths, cfg)  # warm/compile
+    jax.block_until_ready(boot)
+    t0 = time.perf_counter()
+    boot = bs.run_bootstrap(ec, index.lengths,
+                            EMConfig(bootstrap_samples=100, bootstrap_seed=2))
+    jax.block_until_ready(boot)
+    dt = time.perf_counter() - t0
+    _emit("config5_bootstrap_replicates_per_s", 100 / dt, "replicates/s",
+          {"transcripts": index.num_transcripts, "ecs": len(members),
+           "platform": jax.devices()[0].platform})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--transcripts", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--stride", type=int, default=1)
+    args = ap.parse_args()
+    if args.transcripts is None:
+        args.transcripts = {1: 1000, 2: 60000, 3: 1000, 4: 1000, 5: 1000}[
+            args.config]
+    [None, config1, config2, config3, config4, config5][args.config](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,12 @@ def cmd_infer(args) -> int:
     if result.bootstrap_counts is not None:
         write_bootstrap(os.path.join(args.output_dir, "bootstrap.npz"),
                         result.names, result.bootstrap_counts)
+    if index.genes is not None:
+        from .io.writer import write_gene_abundance
+
+        write_gene_abundance(
+            os.path.join(args.output_dir, "abundance.genes.tsv"),
+            index.genes, result.est_counts, result.tpm)
     write_run_info(
         os.path.join(args.output_dir, "run_info.json"),
         {

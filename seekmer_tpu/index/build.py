@@ -274,6 +274,7 @@ def build_index_from_seqs(
     seqs: list[str],
     gtf_path: Optional[str] = None,
     cfg: IndexConfig = IndexConfig(),
+    genes: Optional[list[str]] = None,
 ) -> KMerIndex:
     keys, tids, lengths = collect_kmer_pairs(seqs, cfg.k)
     log.info("collected %d k-mer pairs from %d transcripts", keys.size, len(names))
@@ -288,8 +289,11 @@ def build_index_from_seqs(
         _fill_aux(tables["table"], unique_keys, d_min, cfg.k)
         _fill_aux(tables["stash"], unique_keys, d_min, cfg.k)
 
-    genes = None
-    if gtf_path is not None:
+    if genes is not None:
+        genes = np.array(genes)
+    elif gtf_path is not None:
+        from ..io.gtf import transcript_gene_map
+
         t2g = transcript_gene_map(gtf_path)
         genes = np.array([t2g.get(n, "NA") for n in names])
 

@@ -28,6 +28,23 @@ def write_abundance(
             )
 
 
+def write_gene_abundance(
+    path: str,
+    genes: np.ndarray,
+    est_counts: np.ndarray,
+    tpm: np.ndarray,
+) -> None:
+    """Transcript table aggregated to gene level (requires GTF metadata at
+    index time)."""
+    uniq, inv = np.unique(genes, return_inverse=True)
+    g_counts = np.bincount(inv, weights=est_counts, minlength=uniq.size)
+    g_tpm = np.bincount(inv, weights=tpm, minlength=uniq.size)
+    with open(path, "w") as fh:
+        fh.write("gene_id\test_counts\ttpm\n")
+        for i, g in enumerate(uniq):
+            fh.write(f"{g}\t{g_counts[i]:.6g}\t{g_tpm[i]:.6g}\n")
+
+
 def write_bootstrap(path: str, names: np.ndarray, boot_counts: np.ndarray) -> None:
     """Bootstrap est_counts matrix (replicates x transcripts) as npz."""
     np.savez_compressed(path, names=names.astype("S"), est_counts=boot_counts)

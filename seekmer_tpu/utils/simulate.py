@@ -96,6 +96,41 @@ def simulate_reads(
     return SimulatedReads(reads1=reads1, reads2=reads2, true_transcript=tids)
 
 
+def isoform_transcriptome(
+    rng: np.random.Generator,
+    num_genes: int = 1000,
+    mean_isoforms: float = 3.0,
+    mean_exons: int = 8,
+    mean_exon_len: int = 180,
+) -> Tuple[List[str], List[str], List[str]]:
+    """Gene/isoform-structured transcriptome: each gene is a set of exons;
+    isoforms are ordered exon subsets — the realistic shared-sequence
+    structure that drives equivalence-class ambiguity at GENCODE scale
+    (BASELINE config 2). Returns (names, seqs, gene_ids)."""
+    names, seqs, genes = [], [], []
+    for g in range(num_genes):
+        n_exons = max(2, int(rng.poisson(mean_exons)))
+        exon_lens = np.maximum(rng.poisson(mean_exon_len, size=n_exons), 30)
+        exons = [
+            _BASES[rng.integers(0, 4, size=int(L))].tobytes().decode()
+            for L in exon_lens
+        ]
+        n_iso = max(1, int(rng.poisson(mean_isoforms)))
+        seen = set()
+        for i in range(n_iso):
+            keep = rng.random(n_exons) < 0.75
+            if not keep.any():
+                keep[rng.integers(0, n_exons)] = True
+            key = tuple(np.flatnonzero(keep).tolist())
+            if key in seen:
+                continue
+            seen.add(key)
+            names.append(f"gene{g:06d}.iso{i}")
+            seqs.append("".join(e for e, k in zip(exons, keep) if k))
+            genes.append(f"gene{g:06d}")
+    return names, seqs, genes
+
+
 def simulate_packed_batches(
     rng: np.random.Generator,
     seqs: List[str],
