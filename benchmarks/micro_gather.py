@@ -74,3 +74,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+def probe_bench():
+    """Isolated lookup_ecs_aux timing at realistic shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from seekmer_tpu.index.build import build_tables
+    from seekmer_tpu.config import IndexConfig
+    from seekmer_tpu.ops.probe import lookup_ecs_aux
+    import sys, time
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+    n = 1_250_000
+    keys = np.unique(rng.integers(0, 1 << 50, size=n, dtype=np.uint64))
+    vals = np.arange(keys.size, dtype=np.int32)
+    for G in (8, 16, 32):
+        t = build_tables(keys, vals, 25, IndexConfig(bucket_size=G))
+        table = jnp.asarray(t["table"]); stash = jnp.asarray(t["stash"])
+        N = 5_000_000
+        hi = jnp.asarray(rng.integers(0, 1 << 24, size=N, dtype=np.int64).astype(np.int32))
+        lo = jnp.asarray(rng.integers(0, 1 << 26, size=N, dtype=np.int64).astype(np.int32))
+        valid = jnp.ones(N, bool)
+        f = jax.jit(lambda a, b, v: lookup_ecs_aux(
+            a, b, v, table, t["main_slots"], stash, t["stash_slots"], G))
+        out = jax.block_until_ready(f(hi, lo, valid))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = jax.block_until_ready(f(hi, lo, valid))
+        dt = (time.perf_counter() - t0) / 5
+        log(f"lookup_ecs_aux G={G:3d}: {dt*1e3:8.2f} ms   {N/dt/1e6:6.1f} Mlane/s")

@@ -1,0 +1,93 @@
+"""Multi-host smoke test (SURVEY.md section 4 item 4): two localhost
+processes form a jax.distributed group (P6, SURVEY.md 2.3), build a global
+mesh over 2x4 fake CPU devices, and run the collective EM fixed point with
+cross-process psums; the result must match the single-process CSR EM.
+
+  python benchmarks/multihost_smoke.py          # launcher
+  python benchmarks/multihost_smoke.py --worker # (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PORT = 43217
+NPROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(process_id: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT}",
+        num_processes=NPROC,
+        process_id=process_id,
+    )
+    import numpy as np
+
+    from seekmer_tpu.config import EMConfig, ShardConfig
+    from seekmer_tpu.em.em import build_ec_table, run_em
+    from seekmer_tpu.parallel.collective_em import run_em_collective
+    from seekmer_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == NPROC * LOCAL_DEVICES, jax.devices()
+
+    rng = np.random.default_rng(0)  # identical system in every process
+    T, E = 40, 100
+    lengths = rng.integers(300, 2000, size=T).astype(np.int32)
+    members = [np.sort(rng.choice(T, size=int(rng.integers(1, 5)),
+                                  replace=False)).astype(np.int32)
+               for _ in range(E)]
+    counts = rng.integers(1, 200, size=E).astype(np.float64)
+    ec = build_ec_table(members, counts, T)
+    cfg = EMConfig(rel_tol=1e-6)
+
+    shard_cfg = ShardConfig(data_axis=NPROC * LOCAL_DEVICES)
+    mesh = make_mesh(shard_cfg)
+    alpha, it = run_em_collective(ec, lengths, cfg, mesh, shard_cfg)
+
+    ref, _ = run_em(ec, lengths, cfg)
+    err = float(np.abs(np.asarray(alpha) - np.asarray(ref)).max())
+    print(f"[proc {process_id}] devices={jax.device_count()} "
+          f"iters={int(it)} max_abs_err_vs_local={err:.3g}", flush=True)
+    assert err < 1e-2, err
+    jax.distributed.shutdown()
+
+
+def launcher() -> int:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(NPROC)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        print(out)
+        ok &= p.returncode == 0
+    print("multihost smoke:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    a = ap.parse_args()
+    if a.worker is None:
+        sys.exit(launcher())
+    worker(a.worker)

@@ -9,6 +9,29 @@ device meshes via pjit/shard_map.
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles through this
+    container's remote-compile tunnel take minutes; cache them across
+    processes (safe no-op if unavailable)."""
+    import os
+
+    try:
+        import jax
+
+        path = os.environ.get(
+            "SEEKMER_JAX_CACHE",
+            os.path.expanduser("~/.cache/seekmer_tpu_jax"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import (  # noqa: F401
     EMConfig,
     IndexConfig,

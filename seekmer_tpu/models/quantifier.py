@@ -128,6 +128,9 @@ class Quantifier:
                          mapper=None,
                          checkpoint_path: Optional[str] = None,
                          checkpoint_every: int = 50) -> QuantResult:
+        from ..utils.prefetch import prefetch
+
+        batches = prefetch(batches, depth=4)
         t0 = time.perf_counter()
         if mapper is None:
             mapper = self._make_mapper()
