@@ -78,6 +78,9 @@ class MapConfig:
     # >1 differs only when a sequencing-error window collides with an
     # indexed k-mer (~1e-7 per window).
     probe_stride: int = 1
+    # Canonical window packing: "xla" (jnp, fused by XLA) or "pallas"
+    # (ops/pack_pallas.py kernel).
+    pack_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

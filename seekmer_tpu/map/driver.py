@@ -87,15 +87,24 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
     di = device_index
     stride = cfg.probe_stride
 
+    if cfg.pack_backend == "pallas":
+        from ..em.em import _pallas_interpret
+        from ..ops.pack_pallas import pack_canonical_pallas
+
+        pack = functools.partial(pack_canonical_pallas,
+                                 interpret=_pallas_interpret())
+    else:
+        pack = pack_canonical
+
     def lk(h, l, v):
         return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
                                   di.stash, di.stash_slots, di.bucket,
                                   stride)
 
-    hi, lo, valid = pack_canonical(codes, lengths, di.k)
+    hi, lo, valid = pack(codes, lengths, di.k)
     ecs = lk(hi, lo, valid)
     if codes2 is not None:
-        hi2, lo2, valid2 = pack_canonical(codes2, lengths2, di.k)
+        hi2, lo2, valid2 = pack(codes2, lengths2, di.k)
         ecs2 = lk(hi2, lo2, valid2)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
         ecs = jnp.concatenate([ecs, ecs2], axis=1)
