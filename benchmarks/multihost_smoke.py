@@ -60,6 +60,51 @@ def worker(process_id: int) -> None:
     print(f"[proc {process_id}] devices={jax.device_count()} "
           f"iters={int(it)} max_abs_err_vs_local={err:.3g}", flush=True)
     assert err < 1e-2, err
+
+    # DP mapping across processes: each host feeds its shard of a global
+    # batch (per-host FASTQ shards, BASELINE config 3); the merged result
+    # must equal single-chip mapping of all reads.
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper
+    from seekmer_tpu.map.signature import SIG_PAD
+    from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+    from seekmer_tpu.utils.simulate import (
+        random_transcriptome, simulate_packed_batches,
+    )
+
+    rng = np.random.default_rng(1)
+    names, seqs = random_transcriptome(rng, num_transcripts=30,
+                                      shared_prefix_frac=0.5)
+    index = build_index_from_seqs(names, seqs)
+    Bg, L = 256, 96
+    codes, _ = simulate_packed_batches(rng, seqs, 2, Bg, read_len=L)
+
+    cfg_map = MapConfig(batch_size=Bg, sig_table_bits=12)
+    dp = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh)
+    B_local = Bg // NPROC
+    lo, hi_ = process_id * B_local, (process_id + 1) * B_local
+    for i in range(2):
+        dp.feed(ReadBatch(codes[i][lo:hi_],
+                          np.full(B_local, L, np.int32),
+                          np.ones(B_local, np.int32)))
+    res = dp.finalize()
+
+    single = Mapper(index, cfg_map)
+    for i in range(2):
+        single.feed(ReadBatch(codes[i], np.full(Bg, L, np.int32),
+                              np.ones(Bg, np.int32)))
+    ref_res = single.finalize()
+
+    def as_dict(r):
+        return {tuple(row[row != int(SIG_PAD)].tolist()): int(n)
+                for row, n in zip(r.sigs, r.sig_counts)}
+
+    assert res.total_reads == ref_res.total_reads == 2 * Bg
+    assert as_dict(res) == as_dict(ref_res)
+    print(f"[proc {process_id}] DP mapping across processes: "
+          f"{res.mapped}/{res.total_reads} mapped == single-chip", flush=True)
     jax.distributed.shutdown()
 
 

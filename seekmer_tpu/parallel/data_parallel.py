@@ -123,12 +123,21 @@ class DataParallelMapper:
         self._steps[key] = step
         return step
 
+    def _put_batch(self, arr):
+        """Place a batch array sharded over the reads axis. Multi-process:
+        each host passes its LOCAL shard of the global batch (the per-host
+        FASTQ shard of BASELINE config 3) and the global array is assembled
+        across processes."""
+        dshard = _shard_spec(self.mesh, self.shard_cfg,
+                             self.shard_cfg.data_axis_name)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(dshard, arr)
+        return jax.device_put(arr, dshard)
+
     def feed(self, batch: ReadBatch) -> None:
         paired = batch.codes2 is not None
         step = self._get_step(batch.bucket, paired)
-        axis = self.shard_cfg.data_axis_name
-        dshard = _shard_spec(self.mesh, self.shard_cfg, axis)
-        put = functools.partial(jax.device_put, device=dshard)
+        put = self._put_batch
         args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
         if paired:
             args += [put(batch.codes2), put(batch.lengths2)]
@@ -140,12 +149,26 @@ class DataParallelMapper:
             self.feed(b)
         return self.finalize()
 
+    def _host(self, x) -> np.ndarray:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     def finalize(self) -> MapResult:
         """Merge the per-chip signature tables host-side (the reference's
-        worker-join dict merge, over distinct signatures)."""
-        count = np.asarray(self.table.count)
-        sig = np.asarray(self.table.sig)
-        overflow = int(np.asarray(self.table.overflow).sum())
+        worker-join dict merge, over distinct signatures). Multi-process:
+        tables are allgathered so every host sees the global result, and
+        per-host read counters are summed."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            self.total_reads = int(multihost_utils.process_allgather(
+                np.int64(self.total_reads)).sum())
+        count = self._host(self.table.count)
+        sig = self._host(self.table.sig)
+        overflow = int(self._host(self.table.overflow).sum())
         occ = count > 0
         merged: Dict[tuple, int] = {}
         for row, n in zip(sig[occ], count[occ]):
