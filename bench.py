@@ -105,6 +105,8 @@ def main() -> int:
     members, counts, _ = resolve_signatures(result, index)
     em_cfg = EMConfig(rel_tol=1e-6, max_iters=2000)
     ec = build_ec_table(members, counts, index.num_transcripts)
+    alpha, iters = run_em(ec, index.lengths, em_cfg)  # warm/compile
+    jax.block_until_ready(alpha)
     t0 = time.perf_counter()
     alpha, iters = run_em(ec, index.lengths, em_cfg)
     jax.block_until_ready(alpha)

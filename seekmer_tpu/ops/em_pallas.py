@@ -52,10 +52,12 @@ def _em_kernel(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
         x = alpha * inv_eff
         denom = jax.lax.dot_general(
             x, M, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (R, E)
         r = jnp.where(denom > 0, n / jnp.where(denom > 0, denom, 1.0), 0.0)
         back = jax.lax.dot_general(
             r, M, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (R, T)
         return x * back
 
