@@ -128,6 +128,10 @@ def em_fixed_point(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        # Precision.HIGHEST multiplies VMEM scratch ~3x; raise the scoped
+        # limit above the 16MB default (v5e has headroom).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(n, M, inv_eff, alpha0)
     return alpha[:R, :T], iters[0, 0]
