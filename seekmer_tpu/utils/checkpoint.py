@@ -30,20 +30,19 @@ def save_map_checkpoint(
     stream_state: dict,
 ) -> None:
     """Write the signature-table state + stream cursor atomically."""
-    import jax
-
-    tmp = path + ".tmp"
     meta = dict(format=FORMAT, total_reads=int(total_reads),
                 stream_state=stream_state)
-    np.savez_compressed(
-        tmp,
-        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        key=np.asarray(table.key),
-        count=np.asarray(table.count),
-        sig=np.asarray(table.sig),
-        overflow=np.asarray(table.overflow),
-    )
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            key=np.asarray(table.key),
+            count=np.asarray(table.count),
+            sig=np.asarray(table.sig),
+            overflow=np.asarray(table.overflow),
+        )
+    os.replace(tmp, path)
 
 
 def load_map_checkpoint(path: str) -> Optional[Tuple[object, int, dict]]:
@@ -68,10 +67,11 @@ def load_map_checkpoint(path: str) -> Optional[Tuple[object, int, dict]]:
 
 
 def save_em_snapshot(path: str, alpha: np.ndarray, iteration: int) -> None:
-    tmp = path + ".tmp"
-    np.savez_compressed(tmp, alpha=np.asarray(alpha),
-                        iteration=np.int64(iteration))
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, alpha=np.asarray(alpha),
+                            iteration=np.int64(iteration))
+    os.replace(tmp, path)
 
 
 def load_em_snapshot(path: str) -> Optional[Tuple[np.ndarray, int]]:
