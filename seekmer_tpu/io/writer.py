@@ -5,8 +5,7 @@ bootstrap replicates and a JSON run info sidecar)."""
 from __future__ import annotations
 
 import json
-import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -14,13 +14,12 @@ this subsystem has no reference counterpart by design.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EMConfig, ShardConfig
 from ..em.em import ECTable, effective_lengths

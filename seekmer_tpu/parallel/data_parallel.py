@@ -16,7 +16,6 @@ SPMD; mesh.py/init_distributed brings up the process group (P6).
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Dict, Iterable, Tuple
 
