@@ -77,6 +77,9 @@ def read_signatures(ecs: jnp.ndarray, valid: jnp.ndarray, max_ecs: int):
     n_distinct = is_new.sum(axis=1)
     distinct = jnp.where(is_new, s, SIG_PAD)
     sig = jnp.sort(distinct, axis=1)[:, :max_ecs]
+    if sig.shape[1] < max_ecs:  # short bucket: fewer windows than C
+        pad = max_ecs - sig.shape[1]
+        sig = jnp.pad(sig, ((0, 0), (0, pad)), constant_values=SIG_PAD)
     mapped = (n_distinct > 0) & (n_distinct <= max_ecs)
     return sig, mapped
 
