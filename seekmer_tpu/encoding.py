@@ -57,31 +57,32 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return rc[::-1]
 
 
-def _pack_windows(win: np.ndarray, k: int) -> np.ndarray:
-    """Pack (N, k) uint8 code windows into uint64 keys (big-endian 2-bit)."""
-    shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
-    return (win.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
-
-
 def canonical_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-mer windows of a code sequence, canonicalized.
 
     Returns (keys, valid): ``keys`` is uint64[P] with P = len(codes)-k+1
     (canonical 2k-bit key; undefined where invalid), ``valid`` is bool[P]
     marking windows containing no invalid base. Empty arrays if P <= 0.
+
+    Implementation: k shifted-OR passes over length-P arrays (the host twin
+    of the device pack in ops/kmer_pack.py) — no (P, k) window matrix is
+    materialized, so this scales to whole-transcriptome concatenations.
     """
     codes = np.asarray(codes, dtype=np.uint8)
     P = codes.size - k + 1
     if P <= 0:
         return (np.empty(0, np.uint64), np.empty(0, bool))
-    win = np.lib.stride_tricks.sliding_window_view(codes, k)
-    valid = (win < 4).all(axis=1)
-    safe = np.where(win < 4, win, 0).astype(np.uint8)
-    fwd = _pack_windows(safe, k)
-    # revcomp of each window: complement codes, reverse within window.
-    rc_win = (3 - safe[:, ::-1].astype(np.int16)).astype(np.uint8)
-    rc = _pack_windows(rc_win, k)
-    return np.minimum(fwd, rc), valid
+    bad = codes > 3
+    safe = np.where(bad, 0, codes).astype(np.uint64)
+    fwd = np.zeros(P, np.uint64)
+    rc = np.zeros(P, np.uint64)
+    anybad = np.zeros(P, bool)
+    for j in range(k):
+        c = safe[j : j + P]
+        fwd |= c << np.uint64(2 * (k - 1 - j))
+        rc |= (np.uint64(3) - c) << np.uint64(2 * j)
+        anybad |= bad[j : j + P]
+    return np.minimum(fwd, rc), ~anybad
 
 
 def split_key(key64: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -47,26 +47,41 @@ def _next_pow2(n: int) -> int:
     return 1 << max(1, (n - 1).bit_length())
 
 
+def _concat_codes(seqs: list[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate transcript codes with INVALID separators.
+
+    Returns (codes uint64-indexable uint8 array, starts int64[T]) where
+    transcript t occupies codes[starts[t] : starts[t] + len_t]; separator
+    bytes make windows spanning transcript boundaries invalid, so ONE
+    vectorized k-mer pass covers the whole transcriptome.
+    """
+    lengths = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    total = int(lengths.sum()) + len(seqs)
+    codes = np.full(total, 4, np.uint8)
+    starts = np.zeros(len(seqs), np.int64)
+    off = 0
+    for t, s in enumerate(seqs):
+        starts[t] = off
+        c = seq_to_codes(s)
+        codes[off : off + c.size] = c
+        off += c.size + 1
+    return codes, starts
+
+
 def collect_kmer_pairs(
     seqs: Iterable[str], k: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All (canonical key, transcript id) pairs plus transcript lengths."""
-    keys_parts, tid_parts, lengths = [], [], []
-    for tid, seq in enumerate(seqs):
-        codes = seq_to_codes(seq)
-        lengths.append(codes.size)
-        keys, valid = canonical_kmers(codes, k)
-        if keys.size:
-            kv = keys[valid]
-            keys_parts.append(kv)
-            tid_parts.append(np.full(kv.size, tid, dtype=np.int32))
-    if keys_parts:
-        keys = np.concatenate(keys_parts)
-        tids = np.concatenate(tid_parts)
-    else:
-        keys = np.empty(0, np.uint64)
-        tids = np.empty(0, np.int32)
-    return keys, tids, np.asarray(lengths, dtype=np.int32)
+    seqs = list(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), np.int32,
+                          len(seqs)) if seqs else np.empty(0, np.int32)
+    if not seqs:
+        return np.empty(0, np.uint64), np.empty(0, np.int32), lengths
+    codes, starts = _concat_codes(seqs)
+    keys, valid = canonical_kmers(codes, k)
+    pos = np.flatnonzero(valid)
+    tids = (np.searchsorted(starts, pos, side="right") - 1).astype(np.int32)
+    return keys[pos], tids, lengths
 
 
 def group_equivalence_classes(
@@ -246,26 +261,27 @@ def compute_run_lengths(
     heuristic, SURVEY.md 3.3/7.4).
     """
     d_min = np.full(unique_keys.size, cap, dtype=np.int32)
-    for seq in seqs:
-        keys, valid = canonical_kmers(seq_to_codes(seq), k)
-        if keys.size == 0:
-            continue
-        ki = np.searchsorted(unique_keys, keys)
-        ki = np.minimum(ki, unique_keys.size - 1)
-        present = valid & (unique_keys[ki] == keys)
-        ec = np.where(present, key_ec[ki], -1)
-        P = ec.size
-        # run ids over equal-EC stretches (invalid positions break runs)
-        change = np.ones(P, dtype=bool)
-        change[1:] = ec[1:] != ec[:-1]
-        run_id = np.cumsum(change) - 1
-        starts = np.flatnonzero(change)
-        run_len = np.diff(np.append(starts, P))
-        pos_in_run = np.arange(P) - starts[run_id]
-        d_fwd = run_len[run_id] - 1 - pos_in_run
-        d_bwd = pos_in_run
-        d = np.minimum(np.minimum(d_fwd, d_bwd), cap).astype(np.int32)
-        np.minimum.at(d_min, ki[present], d[present])
+    if not seqs:
+        return d_min
+    # one pass over the separator-joined transcriptome: separator windows
+    # are invalid (ec = -1) and break runs exactly at transcript borders
+    codes, _ = _concat_codes(list(seqs))
+    keys, valid = canonical_kmers(codes, k)
+    ki = np.searchsorted(unique_keys, keys)
+    ki = np.minimum(ki, max(unique_keys.size - 1, 0))
+    present = valid & (unique_keys[ki] == keys)
+    ec = np.where(present, key_ec[ki], -1)
+    P = ec.size
+    change = np.ones(P, dtype=bool)
+    change[1:] = ec[1:] != ec[:-1]
+    run_id = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    run_len = np.diff(np.append(starts, P))
+    pos_in_run = np.arange(P) - starts[run_id]
+    d_fwd = run_len[run_id] - 1 - pos_in_run
+    d_bwd = pos_in_run
+    d = np.minimum(np.minimum(d_fwd, d_bwd), cap).astype(np.int32)
+    np.minimum.at(d_min, ki[present], d[present])
     return d_min
 
 
