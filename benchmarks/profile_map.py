@@ -55,21 +55,23 @@ def main():
 
     k = index.k
 
+    # tables passed as arguments (closed-over arrays would be baked into
+    # the program and re-uploaded to the remote compiler)
     @jax.jit
-    def stage_pack(c):
+    def stage_pack(tb, st, c):
         return pack_canonical(c, lengths, k)
 
     @jax.jit
-    def stage_probe(c):
+    def stage_probe(tb, st, c):
         hi, lo, valid = pack_canonical(c, lengths, k)
-        return lookup_ecs(hi, lo, valid, di.table, di.main_slots,
-                          di.stash, di.stash_slots, di.bucket)
+        return lookup_ecs(hi, lo, valid, tb, di.main_slots,
+                          st, di.stash_slots, di.bucket)
 
     @jax.jit
-    def stage_sig(c):
+    def stage_sig(tb, st, c):
         hi, lo, valid = pack_canonical(c, lengths, k)
-        ecs = lookup_ecs(hi, lo, valid, di.table, di.main_slots,
-                         di.stash, di.stash_slots, di.bucket)
+        ecs = lookup_ecs(hi, lo, valid, tb, di.main_slots,
+                         st, di.stash_slots, di.bucket)
         sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
         return sig, mapped
 
@@ -79,17 +81,17 @@ def main():
                       donate_argnums=(0,))
 
         def run(c, t):
-            sig, mapped = stage_sig(c)
+            sig, mapped = stage_sig(di.table, di.stash, c)
             return acc(t, sig, mapped, weights=weights,
                        sig_probe=cfg.sig_probe)
         return run, table
 
     def bench(name, fn):
-        out = fn(codes_d[0])
+        out = fn(di.table, di.stash, codes_d[0])
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for i in range(1, args.batches):
-            out = fn(codes_d[i])
+            out = fn(di.table, di.stash, codes_d[i])
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / (args.batches - 1)
         log(f"{name:28s} {dt*1e3:8.2f} ms/batch "

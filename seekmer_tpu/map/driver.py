@@ -129,8 +129,16 @@ class Mapper:
     def _get_step(self, bucket: int, paired: bool):
         key = (bucket, paired)
         if key not in self._steps:
-            fn = functools.partial(map_step, self.device_index, self.cfg)
-            self._steps[key] = jax.jit(fn, donate_argnums=(0,))
+            cfg = self.cfg
+
+            # device_index is a real argument, NOT a closure: closed-over
+            # arrays are baked into the program as constants and would be
+            # re-uploaded to the compiler with every trace (a GENCODE-scale
+            # table even exceeds the remote compiler's request limit).
+            def fn(di, table, *args, **kwargs):
+                return map_step(di, cfg, table, *args, **kwargs)
+
+            self._steps[key] = jax.jit(fn, donate_argnums=(1,))
         return self._steps[key]
 
     def feed(self, batch: ReadBatch) -> None:
@@ -139,8 +147,8 @@ class Mapper:
         kwargs = {}
         if paired:
             kwargs = dict(codes2=batch.codes2, lengths2=batch.lengths2)
-        self.table = step(self.table, batch.codes, batch.lengths,
-                          batch.weights, **kwargs)
+        self.table = step(self.device_index, self.table, batch.codes,
+                          batch.lengths, batch.weights, **kwargs)
         self.total_reads += batch.n_real
 
     def run(self, batches: Iterable[ReadBatch],
