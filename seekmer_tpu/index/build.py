@@ -281,7 +281,16 @@ def compute_run_lengths(
     d_fwd = run_len[run_id] - 1 - pos_in_run
     d_bwd = pos_in_run
     d = np.minimum(np.minimum(d_fwd, d_bwd), cap).astype(np.int32)
-    np.minimum.at(d_min, ki[present], d[present])
+    # per-key min via sort + reduceat (np.minimum.at is a scalar loop)
+    kp, dp = ki[present], d[present]
+    order = np.argsort(kp, kind="stable")
+    kp, dp = kp[order], dp[order]
+    first = np.ones(kp.size, dtype=bool)
+    first[1:] = kp[1:] != kp[:-1]
+    starts = np.flatnonzero(first)
+    if starts.size:
+        mins = np.minimum.reduceat(dp, starts)
+        d_min[kp[starts]] = np.minimum(d_min[kp[starts]], mins)
     return d_min
 
 
