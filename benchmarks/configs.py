@@ -33,24 +33,52 @@ def _emit(metric, value, unit, extra):
                       "unit": unit, "extra": extra}))
 
 
+_CACHE_DIR = os.environ.get("SEEKMER_BENCH_CACHE",
+                            "/tmp/seekmer_bench_cache")
+
+
 def _world(transcripts, isoform=False, seed=0):
+    import pickle
+
     from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.index.store import KMerIndex
     from seekmer_tpu.utils.simulate import (
         isoform_transcriptome, random_transcriptome,
     )
 
     rng = np.random.default_rng(seed)
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tag = f"{'iso' if isoform else 'rand'}_{transcripts}_{seed}"
+    idx_path = os.path.join(_CACHE_DIR, f"index_{tag}.npz")
+    seq_path = os.path.join(_CACHE_DIR, f"seqs_{tag}.pkl")
+
     t0 = time.perf_counter()
-    if isoform:
-        names, seqs, genes = isoform_transcriptome(
-            rng, num_genes=transcripts // 3)
-        index = build_index_from_seqs(names, seqs, genes=genes)
+    if os.path.exists(idx_path) and os.path.exists(seq_path):
+        index = KMerIndex.load(idx_path)
+        with open(seq_path, "rb") as fh:
+            seqs = pickle.load(fh)
+        # advance the rng identically to the build path
+        if isoform:
+            isoform_transcriptome(rng, num_genes=transcripts // 3)
+        else:
+            random_transcriptome(rng, num_transcripts=transcripts,
+                                 min_len=300, max_len=3000,
+                                 shared_prefix_frac=0.5)
+        build_s = 0.0
     else:
-        names, seqs = random_transcriptome(
-            rng, num_transcripts=transcripts, min_len=300, max_len=3000,
-            shared_prefix_frac=0.5)
-        index = build_index_from_seqs(names, seqs)
-    build_s = time.perf_counter() - t0
+        if isoform:
+            names, seqs, genes = isoform_transcriptome(
+                rng, num_genes=transcripts // 3)
+            index = build_index_from_seqs(names, seqs, genes=genes)
+        else:
+            names, seqs = random_transcriptome(
+                rng, num_transcripts=transcripts, min_len=300, max_len=3000,
+                shared_prefix_frac=0.5)
+            index = build_index_from_seqs(names, seqs)
+        build_s = time.perf_counter() - t0
+        index.save(idx_path)
+        with open(seq_path, "wb") as fh:
+            pickle.dump(seqs, fh)
     print(f"[config] index: {index.num_kmers} kmers, {index.num_ecs} ECs, "
           f"{index.num_transcripts} txps in {build_s:.1f}s",
           file=sys.stderr, flush=True)

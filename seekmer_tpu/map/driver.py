@@ -208,7 +208,15 @@ def resolve_signatures(
     agg: Dict[tuple, int] = {}
     dropped = 0
     pad = np.int32(0x7FFFFFFF)
-    for row, n in zip(result.sigs, result.sig_counts):
+    n_ec = (result.sigs != pad).sum(axis=1) if result.sigs.size else np.empty(0, int)
+
+    # fast path: singleton signatures (the vast majority) ARE index ECs
+    single = n_ec == 1
+    for ec, n in zip(result.sigs[single, 0], result.sig_counts[single]):
+        key = tuple(index.ec_members(int(ec)).tolist())
+        agg[key] = agg.get(key, 0) + int(n)
+
+    for row, n in zip(result.sigs[~single], result.sig_counts[~single]):
         ecs = row[row != pad]
         members = index.ec_members(int(ecs[0]))
         for ec in ecs[1:]:

@@ -12,7 +12,12 @@ CPU with the fake-device flag.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SEEKMER_TEST_TPU=1 runs the suite on whatever backend the container
+# provides (the real chip) — used for TPU-only numerics smoke runs.
+_USE_TPU = os.environ.get("SEEKMER_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,11 +26,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-from jax._src import xla_bridge as _xb  # noqa: E402
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
 
-if _xb._default_backend is not None and _xb._default_backend.platform != "cpu":
-    _xb._clear_backends()
+    if (_xb._default_backend is not None
+            and _xb._default_backend.platform != "cpu"):
+        _xb._clear_backends()
+        _xb.get_backend.cache_clear()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,6 +47,8 @@ def rng():
 
 
 def pytest_sessionstart(session):
+    if _USE_TPU:
+        return
     devices = jax.devices()
     assert devices[0].platform == "cpu", f"tests must run on CPU: {devices}"
     assert len(devices) == 8, f"expected 8 fake devices: {devices}"
