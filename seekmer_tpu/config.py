@@ -78,6 +78,10 @@ class MapConfig:
     # >1 differs only when a sequencing-error window collides with an
     # indexed k-mer (~1e-7 per window).
     probe_stride: int = 1
+    # Process the probe's lanes in this many sequential chunks to bound the
+    # gathered-bucket-rows transient (4*bucket_size int32 per lane: GBs at
+    # GENCODE batch sizes). 1 = single pass.
+    probe_chunks: int = 1
     # Canonical window packing: "xla" (jnp, fused by XLA) or "pallas"
     # (ops/pack_pallas.py kernel).
     pack_backend: str = "xla"

@@ -99,7 +99,7 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
     def lk(h, l, v):
         return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
                                   di.stash, di.stash_slots, di.bucket,
-                                  stride)
+                                  stride, chunks=cfg.probe_chunks)
 
     hi, lo, valid = pack(codes, lengths, di.k)
     ecs = lk(hi, lo, valid)

@@ -90,16 +90,47 @@ def _pad_to_block(x, fill):
 
 def lookup_ecs_aux(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int,
+    bucket: int, chunks: int = 1,
 ):
     """Bucketized lookup returning (ec, aux) with aux = the per-k-mer EC
-    run length written by the index builder. Any input lane shape."""
+    run length written by the index builder. Any input lane shape.
+
+    ``chunks`` > 1 processes the lanes in that many sequential chunks
+    (lax.map), bounding the gathered-rows transient — one bucket row is
+    4*bucket int32 per lane, which reaches GBs for GENCODE-scale batches.
+    """
     shape = hi.shape
     hi_f = hi.reshape(-1)
     lo_f = lo.reshape(-1)
     valid_f = valid.reshape(-1)
     N = hi_f.shape[0]
 
+    if chunks > 1:
+        Np = -(-N // (chunks * _BLK)) * (chunks * _BLK)
+        pad = Np - N
+
+        def padded(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full(pad, fill, x.dtype)]).reshape(chunks, -1)
+
+        def one(args):
+            h, l, v = args
+            return _lookup_flat(h, l, v, table, main_slots, stash,
+                                stash_slots, bucket)
+
+        ec_c, aux_c = jax.lax.map(
+            one, (padded(hi_f, 0), padded(lo_f, 0), padded(valid_f, False)))
+        return (ec_c.reshape(-1)[:N].reshape(shape),
+                aux_c.reshape(-1)[:N].reshape(shape))
+
+    ec, aux = _lookup_flat(hi_f, lo_f, valid_f, table, main_slots, stash,
+                           stash_slots, bucket)
+    return ec.reshape(shape), aux.reshape(shape)
+
+
+def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
+                 stash_slots: int, bucket: int):
+    N = hi_f.shape[0]
     ec, aux, found, full = _bucket_lookup(hi_f, lo_f, table, main_slots,
                                           bucket, hash_kmer)
     hit = valid_f & found
@@ -137,22 +168,22 @@ def lookup_ecs_aux(
         return (jnp.where(write, ec2, ec), jnp.where(write, aux2, aux))
 
     ec, aux = jax.lax.cond(lost > 0, full_width, compacted, None)
-    return ec.reshape(shape), aux.reshape(shape)
+    return ec, aux
 
 
 def lookup_ecs(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int,
+    bucket: int, chunks: int = 1,
 ):
     """k-mer (hi, lo) lanes -> EC ids (MISS = -1 for absent/invalid)."""
     ec, _ = lookup_ecs_aux(hi, lo, valid, table, main_slots, stash,
-                           stash_slots, bucket)
+                           stash_slots, bucket, chunks=chunks)
     return ec
 
 
 def lookup_ecs_strided(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int, stride: int,
+    bucket: int, stride: int, chunks: int = 1,
 ):
     """Strided lookup with exact gap coverage via EC run lengths.
 
@@ -170,7 +201,7 @@ def lookup_ecs_strided(
     """
     if stride <= 1:
         return lookup_ecs(hi, lo, valid, table, main_slots, stash,
-                          stash_slots, bucket)
+                          stash_slots, bucket, chunks=chunks)
     B, P = hi.shape
     s = stride
     Ps = -(-P // s)  # samples at 0, s, ..., (Ps-1)*s
