@@ -46,7 +46,7 @@ class DeviceIndex:
     boundaries and sharding annotations directly.
     """
 
-    table: jnp.ndarray
+    table: jnp.ndarray  # (n_buckets, 4*bucket) device layout
     stash: jnp.ndarray
     main_slots: int = dataclasses.field(metadata=dict(static=True))
     stash_slots: int = dataclasses.field(metadata=dict(static=True))
@@ -55,10 +55,12 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, index: KMerIndex, device=None) -> "DeviceIndex":
+        from ..ops.probe import device_table_layout
+
         put = functools.partial(jax.device_put, device=device)
         return cls(
-            table=put(index.table),
-            stash=put(index.stash),
+            table=put(device_table_layout(index.table, index.bucket)),
+            stash=put(device_table_layout(index.stash, index.bucket)),
             main_slots=index.main_slots,
             stash_slots=index.stash_slots,
             bucket=index.bucket,

@@ -32,8 +32,19 @@ MISS = jnp.int32(-1)
 _BLK = 32  # block-compaction granularity (lanes)
 
 
+def device_table_layout(table, bucket: int):
+    """Reshape a host (S, 4) table to its at-rest device layout
+    (n_buckets, 4*bucket). The minor dimension is 128 int32 for bucket=32 —
+    exactly one TPU tile row. Keeping (S, 4) on device instead makes XLA
+    tile-pad the minor dim 4 -> 128 (a 32x memory blow-up: a GENCODE table
+    copy requested 32GB)."""
+    S = table.shape[0]
+    return table.reshape(S // bucket, bucket * 4)
+
+
 def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
-    """One bucket gather + compare. hi/lo: int32[N].
+    """One bucket gather + compare. hi/lo: int32[N]; table in the
+    (n_buckets, 4*bucket) device layout (device_table_layout).
 
     Returns (ec, aux, found, full): ec int32[N] (MISS if absent), aux
     int32[N] (the matched row's aux column, e.g. EC run length; 0 if
@@ -43,7 +54,7 @@ def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
     nb = slots // bucket
     hb = (hash_fn(hi.astype(jnp.uint32), lo.astype(jnp.uint32))
           & jnp.uint32(nb - 1)).astype(jnp.int32)
-    rows = table.reshape(nb, bucket * 4)[hb].reshape(-1, bucket, 4)
+    rows = table[hb].reshape(-1, bucket, 4)
     match = (rows[:, :, 0] == hi[:, None]) & (rows[:, :, 1] == lo[:, None])
     ec = jnp.max(jnp.where(match, rows[:, :, 2], MISS), axis=1)
     aux = jnp.max(jnp.where(match, rows[:, :, 3], 0), axis=1)

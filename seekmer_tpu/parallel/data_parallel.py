@@ -59,10 +59,14 @@ class DataParallelMapper:
                 f"global batch {cfg.batch_size} not divisible by "
                 f"{self.n_shards} data shards")
 
+        from ..ops.probe import device_table_layout
+
         rep = _shard_spec(self.mesh, shard_cfg)
         self.device_index = DeviceIndex(
-            table=jax.device_put(index.table, rep),
-            stash=jax.device_put(index.stash, rep),
+            table=jax.device_put(
+                device_table_layout(index.table, index.bucket), rep),
+            stash=jax.device_put(
+                device_table_layout(index.stash, index.bucket), rep),
             main_slots=index.main_slots,
             stash_slots=index.stash_slots,
             bucket=index.bucket,

@@ -54,8 +54,8 @@ log = logging.getLogger(__name__)
 class ShardedDeviceIndex:
     """Per-shard tables stacked on a leading axis sharded over `index`."""
 
-    table: jnp.ndarray  # int32[D, S_local, 4]
-    stash: jnp.ndarray  # int32[D, S_stash, 4]
+    table: jnp.ndarray  # int32[D, n_buckets, 4*bucket] (device layout)
+    stash: jnp.ndarray  # int32[D, n_stash_buckets, 4*bucket]
     main_slots: int = dataclasses.field(metadata=dict(static=True))
     stash_slots: int = dataclasses.field(metadata=dict(static=True))
     bucket: int = dataclasses.field(metadata=dict(static=True))
@@ -119,6 +119,9 @@ def shard_index_by_prefix(
             tables[d], stashes[d] = t, st
     log.info("prefix shards: %s keys/shard, %d buckets each", parts, n_buckets)
 
+    # at-rest device layout: (D, n_buckets, 4*G) — 128-int32 tile rows
+    tables = [t.reshape(-1, G * 4) for t in tables]
+    stashes = [t.reshape(-1, G * 4) for t in stashes]
     return ShardedDeviceIndex(
         table=jnp.asarray(np.stack(tables)),
         stash=jnp.asarray(np.stack(stashes)),

@@ -76,9 +76,14 @@ def test_lookup_matches_dict(setup):
         codes[i, : c.size] = c
         lengths[i] = c.size
     hi, lo, valid = pack_canonical(jnp.asarray(codes), jnp.asarray(lengths), k)
-    ecs = lookup_ecs(hi, lo, valid, jnp.asarray(index.table),
-                     index.main_slots, jnp.asarray(index.stash),
-                     index.stash_slots, index.bucket)
+    from seekmer_tpu.ops.probe import device_table_layout
+
+    ecs = lookup_ecs(
+        hi, lo, valid,
+        jnp.asarray(device_table_layout(index.table, index.bucket)),
+        index.main_slots,
+        jnp.asarray(device_table_layout(index.stash, index.bucket)),
+        index.stash_slots, index.bucket)
     ecs = np.asarray(ecs)
     valid = np.asarray(valid)
     for i, r in enumerate(reads):

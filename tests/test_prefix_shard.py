@@ -36,9 +36,11 @@ def test_shard_build_preserves_keys(world):
     index, _ = world
     sdi = shard_index_by_prefix(index, 4)
     total = 0
-    for d in range(4):
-        total += int((np.asarray(sdi.table[d])[:, 0] != EMPTY).sum())
-        total += int((np.asarray(sdi.stash[d])[:, 0] != EMPTY).sum())
+    for d in range(4):  # tables are in (nb, 4*bucket) device layout
+        total += int((np.asarray(sdi.table[d]).reshape(-1, 4)[:, 0]
+                      != EMPTY).sum())
+        total += int((np.asarray(sdi.stash[d]).reshape(-1, 4)[:, 0]
+                      != EMPTY).sum())
     assert total == index.num_kmers
 
 

@@ -52,8 +52,12 @@ def test_strided_vs_dense_invariants(world, stride, error_rate):
     sim = simulate_reads(rng, seqs, num_reads=300, read_len=100,
                          error_rate=error_rate)
     hi, lo, valid = _pack_reads(sim.reads1, index.k)
-    args = (jnp.asarray(index.table), index.main_slots,
-            jnp.asarray(index.stash), index.stash_slots, index.bucket)
+    from seekmer_tpu.ops.probe import device_table_layout
+
+    args = (jnp.asarray(device_table_layout(index.table, index.bucket)),
+            index.main_slots,
+            jnp.asarray(device_table_layout(index.stash, index.bucket)),
+            index.stash_slots, index.bucket)
     dense = np.asarray(lookup_ecs(hi, lo, valid, *args))
     strided = np.asarray(
         lookup_ecs_strided(hi, lo, valid, *args, stride))
