@@ -59,6 +59,12 @@ def _add_infer(sub):
     p.add_argument("--probe-stride", type=int, default=1,
                    help="probe every Nth window with run-length coverage "
                         "(1 = bit-exact dense)")
+    p.add_argument("--probe-chunks", type=int, default=1,
+                   help="probe lanes in N sequential chunks (bounds device "
+                        "memory transients for very large batches)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host process group "
+                        "(jax.distributed; set JAX_COORDINATOR_ADDRESS etc.)")
     return p
 
 
@@ -99,6 +105,10 @@ def cmd_infer(args) -> int:
     from .io.writer import write_abundance, write_bootstrap, write_run_info
     from .models.quantifier import Quantifier
 
+    if args.distributed:
+        from .parallel.mesh import init_distributed
+
+        init_distributed()
     index = KMerIndex.load(args.index)
     cfg = PipelineConfig().replace(
         map=MapConfig(
@@ -107,6 +117,7 @@ def cmd_infer(args) -> int:
             sig_table_bits=args.sig_table_bits,
             paired_end=bool(args.mates),
             probe_stride=args.probe_stride,
+            probe_chunks=args.probe_chunks,
         ),
         em=EMConfig(
             mean_fragment_length=args.fragment_length,
