@@ -21,11 +21,15 @@ from .em import ECTable, effective_lengths, em_step
 
 
 def resample_counts(key, counts, num_samples: int):
-    """Multinomial resample of the EC count vector: n^(b) ~ Mult(N, n/N)."""
+    """Multinomial resample of the EC count vector: n^(b) ~ Mult(N, n/N).
+
+    jax.random.multinomial lowers to a sequential binomial scan over the E
+    categories; unroll amortizes its per-step overhead (it dominated the
+    bootstrap wall clock at E ~ 1400)."""
     N = counts.sum()
     p = counts / N
     keys = jax.random.split(key, num_samples)
-    draw = lambda k: jax.random.multinomial(k, N, p)
+    draw = lambda k: jax.random.multinomial(k, N, p, unroll=16)
     return jax.vmap(draw)(keys).astype(counts.dtype)
 
 
@@ -33,11 +37,16 @@ def bootstrap_core(counts, ec_ids, txp_ids, lengths, key, n_replicates: int,
                    num_ecs: int, num_transcripts: int, cfg: EMConfig):
     """Resample + batched EM for ``n_replicates`` replicates (shared by the
     single-chip jit below and the sharded wrapper in parallel/)."""
-    dtype = counts.dtype
-    eff = effective_lengths(lengths, cfg, dtype)
     cmat = resample_counts(key, counts, n_replicates)  # [B, E]
+    return batched_em(cmat, counts.dtype, ec_ids, txp_ids, lengths,
+                      num_ecs, num_transcripts, cfg)
 
-    B, T = n_replicates, num_transcripts
+
+def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
+               num_ecs: int, num_transcripts: int, cfg: EMConfig):
+    """Batched CSR EM over pre-resampled count rows [B, E]."""
+    eff = effective_lengths(lengths, cfg, dtype)
+    B, T = cmat.shape[0], num_transcripts
     n_per = cmat.sum(axis=1, keepdims=True)
     alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype)
 
@@ -86,12 +95,15 @@ def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
     from .em import _pallas_interpret, _use_pallas, dense_membership
 
     B, T = cfg.bootstrap_samples, ec.num_transcripts
+    # ONE shared jitted resample regardless of EM backend, so backends are
+    # numerically comparable (and the sequential multinomial scan compiles
+    # once).
+    counts = ec.counts.astype(jnp.float32)
+    key = jax.random.PRNGKey(cfg.bootstrap_seed)
+    cmat = _resample_jit(key, counts, B)  # [B, E]
     if _use_pallas(ec, cfg, replicates=B):
         from ..ops.em_pallas import em_fixed_point
 
-        counts = ec.counts.astype(jnp.float32)
-        key = jax.random.PRNGKey(cfg.bootstrap_seed)
-        cmat = resample_counts(key, counts, B)  # [B, E]
         eff = effective_lengths(jnp.asarray(lengths), cfg, jnp.float32)
         inv_eff = (1.0 / eff)[None, :]
         alpha0 = jnp.broadcast_to(
@@ -101,8 +113,22 @@ def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
             interpret=_pallas_interpret(),
         )
         return alpha
-    alpha, _ = _bootstrap_jit(
-        ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),
+    alpha, _ = _batched_em_jit(
+        cmat, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),
         ec.num_ecs, ec.num_transcripts, cfg,
     )
     return alpha
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _resample_jit(key, counts, n: int):
+    return resample_counts(key, counts, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
+)
+def _batched_em_jit(cmat, ec_ids, txp_ids, lengths, num_ecs,
+                    num_transcripts, cfg: EMConfig):
+    return batched_em(cmat, cmat.dtype, ec_ids, txp_ids, lengths,
+                      num_ecs, num_transcripts, cfg)
