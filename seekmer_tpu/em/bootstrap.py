@@ -44,17 +44,26 @@ def bootstrap_core(counts, ec_ids, txp_ids, lengths, key, n_replicates: int,
 
 def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
                num_ecs: int, num_transcripts: int, cfg: EMConfig):
-    """Batched CSR EM over pre-resampled count rows [B, E]."""
+    """Batched CSR EM over pre-resampled count rows [B, E].
+
+    The replicate axis is FLATTENED into the segment ids (replicate b's
+    entries use EC ids b*E+e and transcript ids b*T+t) rather than vmapped:
+    vmapped segment_sum miscompiled on the TPU backend (alpha collapsed to
+    zero and "converged" vacuously — caught by the oracle-judged TPU diag);
+    flat segment sums are the same primitive the single-run EM uses.
+    """
     eff = effective_lengths(lengths, cfg, dtype)
     B, T = cmat.shape[0], num_transcripts
+    nnz = ec_ids.shape[0]
+    boff = jnp.arange(B, dtype=jnp.int32)[:, None]
+    ec_b = (ec_ids[None, :] + boff * num_ecs).reshape(-1)
+    txp_b = (txp_ids[None, :] + boff * T).reshape(-1)
+    counts_flat = cmat.reshape(-1).astype(dtype)
+    eff_b = jnp.tile(eff, B)
+    ec_flat = ECTable(counts_flat, ec_b, txp_b, B * num_ecs, B * T)
+
     n_per = cmat.sum(axis=1, keepdims=True)
-    alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype)
-
-    def step_one(alpha_row, counts_row):
-        ec = ECTable(counts_row, ec_ids, txp_ids, num_ecs, num_transcripts)
-        return em_step(alpha_row, ec, eff)
-
-    step = jax.vmap(step_one)
+    alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype).reshape(-1)
 
     def cond(state):
         it, all_conv, _ = state
@@ -62,16 +71,17 @@ def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
 
     def body(state):
         it, _, alpha = state
-        alpha_new = step(alpha, cmat)
+        alpha_new = em_step(alpha, ec_flat, eff_b)
         active = alpha_new > cfg.count_floor
         rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        all_conv = jnp.all(jnp.where(active, rel, 0.0).max(axis=1) < cfg.rel_tol)
+        all_conv = active.any() & (
+            jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
         return it + 1, all_conv, alpha_new
 
     it, _, alpha = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
     )
-    return alpha, it
+    return alpha.reshape(B, T), it
 
 
 @functools.partial(

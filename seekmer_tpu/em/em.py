@@ -115,7 +115,10 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
         alpha_new = em_step(alpha, ec, eff)
         active = alpha_new > cfg.count_floor
         rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        converged = jnp.where(active, rel, 0.0).max() < cfg.rel_tol
+        # active.any() guards vacuous convergence (a collapsed alpha would
+        # otherwise pass the test with no active transcripts)
+        converged = active.any() & (
+            jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
         return it + 1, converged, alpha_new
 
     it, _, alpha = jax.lax.while_loop(

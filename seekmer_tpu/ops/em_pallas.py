@@ -70,7 +70,8 @@ def _em_kernel(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
         alpha_new = one_iter(alpha)
         active = (alpha_new > cfg.count_floor) & real_txp
         rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        converged = jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol
+        converged = active.any() & (
+            jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
         return it + 1, converged, alpha_new
 
     it, _, alpha = jax.lax.while_loop(

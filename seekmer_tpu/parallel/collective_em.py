@@ -81,7 +81,8 @@ def run_em_collective(
             alpha_new = one_iter(alpha)
             active = alpha_new > cfg.count_floor
             rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-            converged = jnp.where(active, rel, 0.0).max() < cfg.rel_tol
+            converged = active.any() & (
+                jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
             return it + 1, converged, alpha_new
 
         it, _, alpha = jax.lax.while_loop(
