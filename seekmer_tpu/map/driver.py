@@ -68,6 +68,27 @@ class DeviceIndex:
         )
 
 
+def merge_sig_rows(sig: np.ndarray, count: np.ndarray, total_reads: int,
+                   overflow: int) -> "MapResult":
+    """Merge raw signature-table rows (possibly from many chips/hosts) into
+    a MapResult — the analog of the reference worker pool's join-time dict
+    merge (SURVEY.md 2.1 C6), over distinct signatures."""
+    occ = count > 0
+    merged: Dict[tuple, int] = {}
+    for row, n in zip(sig[occ], count[occ]):
+        key = tuple(row.tolist())
+        merged[key] = merged.get(key, 0) + int(n)
+    C = sig.shape[1]
+    sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
+        len(merged), C)
+    counts = np.array(list(merged.values()), dtype=np.int64)
+    if overflow:
+        log.warning("%d mapped reads lost to signature-table overflow; "
+                    "increase MapConfig.sig_table_bits", overflow)
+    return MapResult(sigs=sigs, sig_counts=counts, total_reads=total_reads,
+                     mapped=int(counts.sum()), overflow=overflow)
+
+
 @dataclasses.dataclass
 class MapResult:
     """Host-side mapping summary: distinct signatures + statistics."""

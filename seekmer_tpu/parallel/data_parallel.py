@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import MapConfig, ShardConfig
 from ..index.store import KMerIndex
 from ..io.fastq import ReadBatch
-from ..map.driver import DeviceIndex, MapResult, map_step
+from ..map.driver import DeviceIndex, MapResult, map_step, merge_sig_rows
 from ..map.signature import SigTable, make_sig_table
 from .mesh import make_mesh
 
@@ -172,17 +172,4 @@ class DataParallelMapper:
         count = self._host(self.table.count)
         sig = self._host(self.table.sig)
         overflow = int(self._host(self.table.overflow).sum())
-        occ = count > 0
-        merged: Dict[tuple, int] = {}
-        for row, n in zip(sig[occ], count[occ]):
-            key = tuple(row.tolist())
-            merged[key] = merged.get(key, 0) + int(n)
-        sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
-            len(merged), sig.shape[1])
-        counts = np.array(list(merged.values()), dtype=np.int64)
-        mapped = int(counts.sum())
-        if overflow:
-            log.warning("%d reads lost to signature-table overflow", overflow)
-        return MapResult(sigs=sigs, sig_counts=counts,
-                         total_reads=self.total_reads, mapped=mapped,
-                         overflow=overflow)
+        return merge_sig_rows(sig, count, self.total_reads, overflow)

@@ -39,7 +39,7 @@ from ..config import MapConfig, ShardConfig
 from ..index.build import _next_pow2, build_bucket_table
 from ..index.store import EMPTY, KMerIndex
 from ..io.fastq import ReadBatch
-from ..map.driver import MapResult
+from ..map.driver import MapResult, merge_sig_rows
 from ..map.signature import SigTable, accumulate, make_sig_table, read_signatures
 from ..ops.hash import hash_kmer, hash_kmer_stash
 from ..ops.kmer_pack import pack_canonical
@@ -309,17 +309,7 @@ class PrefixShardedMapper:
         if self.routing_overflow:
             log.warning("%d k-mer lanes dropped in all_to_all routing "
                         "(raise capacity_factor)", self.routing_overflow)
-        count = np.asarray(self.table.count)
-        sig = np.asarray(self.table.sig)
-        overflow = int(np.asarray(self.table.overflow).sum())
-        occ = count > 0
-        merged: Dict[tuple, int] = {}
-        for row, n in zip(sig[occ], count[occ]):
-            key = tuple(row.tolist())
-            merged[key] = merged.get(key, 0) + int(n)
-        sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
-            len(merged), sig.shape[1])
-        counts = np.array(list(merged.values()), dtype=np.int64)
-        return MapResult(sigs=sigs, sig_counts=counts,
-                         total_reads=self.total_reads,
-                         mapped=int(counts.sum()), overflow=overflow)
+        return merge_sig_rows(np.asarray(self.table.sig),
+                              np.asarray(self.table.count),
+                              self.total_reads,
+                              int(np.asarray(self.table.overflow).sum()))
