@@ -149,7 +149,12 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
     aux = jnp.where(hit, aux, 0)
 
     need = _pad_to_block(valid_f & ~found & full, False)
-    max_blocks = max(need.shape[0] // _BLK // 4, 16)
+    # Cap sized ~5x above the expected full-bucket rate (~2e-4 at load 0.5
+    # with 32-slot buckets => ~N*2e-4 needy lanes, worst case one per
+    # block). The compacted gather+scatter cost is the STATIC cap size, so
+    # an oversized cap dominates the probe stage; overflow (lost > 0) falls
+    # back to the always-correct full-width stash probe.
+    max_blocks = max(need.shape[0] // _BLK // 64, 16)
     lane_idx, lost = block_compact(need, max_blocks)
 
     hi_ext = jnp.concatenate([hi_f, jnp.zeros(1, jnp.int32)])
