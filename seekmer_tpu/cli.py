@@ -62,6 +62,10 @@ def _add_infer(sub):
     p.add_argument("--probe-chunks", type=int, default=1,
                    help="probe lanes in N sequential chunks (bounds device "
                         "memory transients for very large batches)")
+    p.add_argument("--pack-backend", choices=("xla", "pallas"),
+                   default="xla", help="canonical k-mer packing kernel")
+    p.add_argument("--probe-backend", choices=("xla", "pallas"),
+                   default="xla", help="bucket match/select kernel")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host process group "
                         "(jax.distributed; set JAX_COORDINATOR_ADDRESS etc.)")
@@ -118,6 +122,8 @@ def cmd_infer(args) -> int:
             paired_end=bool(args.mates),
             probe_stride=args.probe_stride,
             probe_chunks=args.probe_chunks,
+            pack_backend=args.pack_backend,
+            probe_backend=args.probe_backend,
         ),
         em=EMConfig(
             mean_fragment_length=args.fragment_length,

@@ -85,6 +85,10 @@ class MapConfig:
     # Canonical window packing: "xla" (jnp, fused by XLA) or "pallas"
     # (ops/pack_pallas.py kernel).
     pack_backend: str = "xla"
+    # Bucket match/select: "xla" (compare fused into the gather by XLA —
+    # measured faster, default) or "pallas" (ops/probe_pallas.py explicit
+    # fused kernel; requires the gathered rows to round-trip HBM).
+    probe_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -119,10 +119,18 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
     else:
         pack = pack_canonical
 
+    bucket_lookup = None
+    if cfg.probe_backend == "pallas":
+        from ..em.em import _pallas_interpret
+        from ..ops.probe_pallas import make_bucket_lookup
+
+        bucket_lookup = make_bucket_lookup(interpret=_pallas_interpret())
+
     def lk(h, l, v):
         return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
                                   di.stash, di.stash_slots, di.bucket,
-                                  stride, chunks=cfg.probe_chunks)
+                                  stride, chunks=cfg.probe_chunks,
+                                  bucket_lookup=bucket_lookup)
 
     hi, lo, valid = pack(codes, lengths, di.k)
     ecs = lk(hi, lo, valid)

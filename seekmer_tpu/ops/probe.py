@@ -101,7 +101,7 @@ def _pad_to_block(x, fill):
 
 def lookup_ecs_aux(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int, chunks: int = 1,
+    bucket: int, chunks: int = 1, bucket_lookup=None,
 ):
     """Bucketized lookup returning (ec, aux) with aux = the per-k-mer EC
     run length written by the index builder. Any input lane shape.
@@ -127,7 +127,8 @@ def lookup_ecs_aux(
         def one(args):
             h, l, v = args
             return _lookup_flat(h, l, v, table, main_slots, stash,
-                                stash_slots, bucket)
+                                stash_slots, bucket,
+                                bucket_lookup=bucket_lookup)
 
         ec_c, aux_c = jax.lax.map(
             one, (padded(hi_f, 0), padded(lo_f, 0), padded(valid_f, False)))
@@ -135,15 +136,21 @@ def lookup_ecs_aux(
                 aux_c.reshape(-1)[:N].reshape(shape))
 
     ec, aux = _lookup_flat(hi_f, lo_f, valid_f, table, main_slots, stash,
-                           stash_slots, bucket)
+                           stash_slots, bucket, bucket_lookup=bucket_lookup)
     return ec.reshape(shape), aux.reshape(shape)
 
 
 def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
-                 stash_slots: int, bucket: int):
+                 stash_slots: int, bucket: int, bucket_lookup=None):
+    """Full lookup over flat lanes: home-bucket match + rare compacted
+    stash pass. ``bucket_lookup`` swaps the single-bucket match
+    implementation (default: the XLA gather+compare `_bucket_lookup`;
+    ops/probe_pallas.py passes its fused Pallas kernel)."""
+    if bucket_lookup is None:
+        bucket_lookup = _bucket_lookup
     N = hi_f.shape[0]
-    ec, aux, found, full = _bucket_lookup(hi_f, lo_f, table, main_slots,
-                                          bucket, hash_kmer)
+    ec, aux, found, full = bucket_lookup(hi_f, lo_f, table, main_slots,
+                                         bucket, hash_kmer)
     hit = valid_f & found
     ec = jnp.where(hit, ec, MISS)
     aux = jnp.where(hit, aux, 0)
@@ -165,7 +172,7 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
         c_hi = hi_ext[lane_idx]
         c_lo = lo_ext[lane_idx]
         c_need = need_ext[jnp.minimum(lane_idx, N)]
-        ec2, aux2, found2, _ = _bucket_lookup(
+        ec2, aux2, found2, _ = bucket_lookup(
             c_hi, c_lo, stash, stash_slots, bucket, hash_kmer_stash)
         write = c_need & found2
         dst = jnp.where(write, lane_idx, N)
@@ -178,7 +185,7 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
     def full_width(_):
         # cap overflow (pathological need density): probe the stash for
         # every lane — correct at full cost
-        ec2, aux2, found2, _ = _bucket_lookup(
+        ec2, aux2, found2, _ = bucket_lookup(
             hi_f, lo_f, stash, stash_slots, bucket, hash_kmer_stash)
         write = need[:N] & found2
         return (jnp.where(write, ec2, ec), jnp.where(write, aux2, aux))
@@ -189,17 +196,18 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
 
 def lookup_ecs(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int, chunks: int = 1,
+    bucket: int, chunks: int = 1, bucket_lookup=None,
 ):
     """k-mer (hi, lo) lanes -> EC ids (MISS = -1 for absent/invalid)."""
     ec, _ = lookup_ecs_aux(hi, lo, valid, table, main_slots, stash,
-                           stash_slots, bucket, chunks=chunks)
+                           stash_slots, bucket, chunks=chunks,
+                           bucket_lookup=bucket_lookup)
     return ec
 
 
 def lookup_ecs_strided(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
-    bucket: int, stride: int, chunks: int = 1,
+    bucket: int, stride: int, chunks: int = 1, bucket_lookup=None,
 ):
     """Strided lookup with exact gap coverage via EC run lengths.
 
@@ -217,7 +225,8 @@ def lookup_ecs_strided(
     """
     if stride <= 1:
         return lookup_ecs(hi, lo, valid, table, main_slots, stash,
-                          stash_slots, bucket, chunks=chunks)
+                          stash_slots, bucket, chunks=chunks,
+                          bucket_lookup=bucket_lookup)
     B, P = hi.shape
     s = stride
     Ps = -(-P // s)  # samples at 0, s, ..., (Ps-1)*s
@@ -227,7 +236,8 @@ def lookup_ecs_strided(
 
     hi_s, lo_s, valid_s = sample(hi), sample(lo), sample(valid)
     ec_s, d_s = lookup_ecs_aux(hi_s, lo_s, valid_s, table, main_slots,
-                               stash, stash_slots, bucket)
+                               stash, stash_slots, bucket,
+                               bucket_lookup=bucket_lookup)
 
     pos = jnp.arange(P, dtype=jnp.int32)
     gap = pos // s
@@ -272,7 +282,7 @@ def lookup_ecs_strided(
         li = jnp.minimum(lane_idx, N)
         c_hi, c_lo, c_need = hi_ext[li], lo_ext[li], need_ext[li]
         ec_d = lookup_ecs(c_hi, c_lo, c_need, table, main_slots, stash,
-                          stash_slots, bucket)
+                          stash_slots, bucket, bucket_lookup=bucket_lookup)
         ec_ext = jnp.concatenate([ec0.reshape(-1), jnp.zeros(1, jnp.int32)])
         dst = jnp.where(c_need, li, N)
         return ec_ext.at[dst].set(ec_d, mode="drop")[:N].reshape(B, P)
@@ -281,7 +291,7 @@ def lookup_ecs_strided(
         # cap overflow (very high error rate / tiny run lengths): probe
         # every uncovered lane full-width — correct at full cost
         ec_d = lookup_ecs(hi, lo, need, table, main_slots, stash,
-                          stash_slots, bucket)
+                          stash_slots, bucket, bucket_lookup=bucket_lookup)
         return jnp.where(need, ec_d, ec0)
 
     ec = jax.lax.cond(lost > 0, dense_fallback, compacted, None)
