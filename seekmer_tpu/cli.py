@@ -72,6 +72,23 @@ def _add_infer(sub):
     return p
 
 
+def _add_fuse(sub):
+    p = _common(sub.add_parser(
+        "fuse", help="call fusion-transcript candidates from discordant "
+                     "read pairs (reference fusion.py, SURVEY.md C12)"))
+    p.add_argument("index", help="index file from `index`")
+    p.add_argument("output_dir", help="output directory")
+    p.add_argument("fastq", nargs="+", help="mate-1 FASTQ(.gz) files")
+    p.add_argument("--mates", nargs="+", required=True,
+                   help="mate-2 FASTQ(.gz) files")
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--max-ecs-per-read", type=int, default=16)
+    p.add_argument("--sig-table-bits", type=int, default=20)
+    p.add_argument("--min-count", type=int, default=2,
+                   help="minimum supporting pairs per candidate")
+    return p
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="seekmer_tpu",
@@ -82,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="command", required=True)
     _add_index(sub)
     _add_infer(sub)
+    _add_fuse(sub)
     return ap
 
 
@@ -180,6 +198,40 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_fuse(args) -> int:
+    import os
+
+    from .config import MapConfig
+    from .fusion import detect_fusions_files
+    from .index.store import KMerIndex
+    from .io.writer import write_fusions, write_run_info
+
+    index = KMerIndex.load(args.index)
+    cfg = MapConfig(batch_size=args.batch_size,
+                    max_ecs_per_read=args.max_ecs_per_read,
+                    sig_table_bits=args.sig_table_bits)
+    report = detect_fusions_files(index, args.fastq, args.mates, cfg=cfg,
+                                  min_count=args.min_count)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "fusions.tsv")
+    write_fusions(out, report)
+    write_run_info(
+        os.path.join(args.output_dir, "run_info.json"),
+        {
+            "pairs_total": report.pairs_total,
+            "candidates": len(report.candidates),
+            "concordant": report.concordant,
+            "same_gene_discordant": report.same_gene_discordant,
+            "ambiguous": report.ambiguous,
+            "unresolved": report.unresolved,
+            "min_count": args.min_count,
+            "index": args.index,
+        },
+    )
+    logging.info("wrote %s (%d candidates)", out, len(report.candidates))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -191,6 +243,8 @@ def main(argv=None) -> int:
         return cmd_index(args)
     if args.command == "infer":
         return cmd_infer(args)
+    if args.command == "fuse":
+        return cmd_fuse(args)
     raise AssertionError(args.command)
 
 

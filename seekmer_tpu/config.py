@@ -72,6 +72,12 @@ class MapConfig:
     # both mates empty => unmapped. Matches intersect-mates semantics
     # (reference mapper.py paired-end handling [BASELINE.json:8]).
     paired_end: bool = False
+    # Fusion mode (reference seekmer fusion.py, SURVEY.md 2.1 C12): keep
+    # each mate's EC signature separately (signature rows widen to
+    # 2*max_ecs_per_read) so discordant pairs — mates whose transcript
+    # intersections are disjoint — can be resolved into gene-pair fusion
+    # candidates (seekmer_tpu/fusion.py). Requires paired_end.
+    fusion_pairs: bool = False
     # Probe every stride-th window and fill the gaps via the index's EC
     # run-length guarantees, dense-probing uncovered gaps (ops/probe.py
     # lookup_ecs_strided). 1 = probe every window (bit-exact vs the oracle);

@@ -137,6 +137,16 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
     if codes2 is not None:
         hi2, lo2, valid2 = pack(codes2, lengths2, di.k)
         ecs2 = lk(hi2, lo2, valid2)
+        if cfg.fusion_pairs:
+            # fusion mode: keep per-mate signatures side by side so
+            # discordant pairs stay resolvable (fusion.py, SURVEY C12)
+            sig1, mapped1 = read_signatures(ecs, valid, cfg.max_ecs_per_read)
+            sig2, mapped2 = read_signatures(ecs2, valid2,
+                                            cfg.max_ecs_per_read)
+            sig = jnp.concatenate([sig1, sig2], axis=1)
+            mapped = mapped1 & mapped2
+            return accumulate(table, sig, mapped, weights=weights,
+                              sig_probe=cfg.sig_probe)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
         ecs = jnp.concatenate([ecs, ecs2], axis=1)
         valid = jnp.concatenate([valid, valid2], axis=1)
@@ -153,7 +163,8 @@ class Mapper:
         self.index = index
         self.cfg = cfg
         self.device_index = DeviceIndex.from_host(index, device=device)
-        self.table = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        sig_width = cfg.max_ecs_per_read * (2 if cfg.fusion_pairs else 1)
+        self.table = make_sig_table(cfg.sig_table_bits, sig_width)
         self.total_reads = 0
         self._steps: Dict[Tuple[int, bool], callable] = {}
 

@@ -136,16 +136,31 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
         is_empty = (rows[:, 0] == 0) & (rows[:, 1] == 0)
         try_claim = active & ~match & is_empty
 
-        claim_slot = jnp.where(try_claim, slot, dump)
-        key = key.at[claim_slot].set(keyrow)  # whole-row atomic on duplicates
-        rows2 = key[slot]
-        won = try_claim & (rows2[:, 0] == fp1) & (rows2[:, 1] == fp2)
+        def do_claim(ops):
+            # claim via scatter, re-gather to see who won (whole-row
+            # atomic under XLA's duplicate-update semantics)
+            key, sigtab = ops
+            claim_slot = jnp.where(try_claim, slot, dump)
+            key = key.at[claim_slot].set(keyrow)
+            rows2 = key[slot]
+            won = try_claim & (rows2[:, 0] == fp1) & (rows2[:, 1] == fp2)
+            sig_slot = jnp.where(won, slot, dump)
+            sigtab = sigtab.at[sig_slot].set(sig)
+            return key, sigtab, won
+
+        def no_claim(ops):
+            key, sigtab = ops
+            return key, sigtab, jnp.zeros_like(try_claim)
+
+        # steady state (all signatures already tabled) skips the claim
+        # scatter + re-gather + sig-row scatter: 3 of this round's 5
+        # per-lane passes
+        key, sigtab, won = jax.lax.cond(
+            try_claim.any(), do_claim, no_claim, (key, sigtab))
 
         resolved = match | won
         add_slot = jnp.where(resolved, slot, dump)
         count = count.at[add_slot].add(jnp.where(resolved, w, 0))
-        sig_slot = jnp.where(won, slot, dump)
-        sigtab = sigtab.at[sig_slot].set(sig)
         return r + 1, active & ~resolved, key, count, sigtab
 
     r, active, key, count, sigtab = jax.lax.while_loop(

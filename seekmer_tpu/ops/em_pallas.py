@@ -81,6 +81,52 @@ def _em_kernel(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
     iters_ref[0, 0] = it
 
 
+def _em_kernel_r1(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
+                  iters_ref, *, cfg: EMConfig, n_active_txp: int):
+    """Single-replicate EM with VPU broadcast-reductions instead of MXU.
+
+    With R=1 the contractions are vector-matrix products: the MXU form
+    streams the whole E x T membership matrix through the systolic array
+    per pass (x6 at Precision.HIGHEST) to use 1 of every 8 result rows,
+    so iteration time is weight-load bound. Broadcast-multiply + reduce
+    on the VPU traverses M once per half-step at full width AND stays
+    exact f32. Layout: n (E, 1); alpha/inv_eff (1, T); M (E, T).
+    """
+    inv_eff = inv_eff_ref[:]
+    M = M_ref[:]
+    n = n_ref[:]
+
+    T = alpha0_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    real_txp = col < n_active_txp
+
+    def one_iter(alpha):
+        x = alpha * inv_eff                                   # (1, T)
+        denom = jnp.sum(M * x, axis=1, keepdims=True)         # (E, 1)
+        r = jnp.where(denom > 0, n / jnp.where(denom > 0, denom, 1.0), 0.0)
+        back = jnp.sum(M * r, axis=0, keepdims=True)          # (1, T)
+        return x * back
+
+    def cond(state):
+        it, converged, _ = state
+        return ((~converged) | (it < cfg.min_iters)) & (it < cfg.max_iters)
+
+    def body(state):
+        it, _, alpha = state
+        alpha_new = one_iter(alpha)
+        active = (alpha_new > cfg.count_floor) & real_txp
+        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+        converged = active.any() & (
+            jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
+        return it + 1, converged, alpha_new
+
+    it, _, alpha = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0_ref[:])
+    )
+    alpha_out_ref[:] = alpha
+    iters_ref[0, 0] = it
+
+
 # M bigger than this stays on the CSR path (VMEM is ~16MB/core; leave room
 # for alpha/denom/n and double buffering).
 VMEM_BUDGET_BYTES = 8 * 1024 * 1024
@@ -107,14 +153,21 @@ def em_fixed_point(
     """Run EM to convergence fully on-chip. Returns (alpha [R, T], iters)."""
     E, T = M.shape
     R = n.shape[0]
-    Ep, Tp, Rp = _round_up(E, 128), _round_up(T, 128), _round_up(R, 8)
+    Ep, Tp = _round_up(E, 8 if R == 1 else 128), _round_up(T, 128)
+    Rp = 1 if R == 1 else _round_up(R, 8)
     M = jnp.pad(M, ((0, Ep - E), (0, Tp - T)))
-    n = jnp.pad(n, ((0, Rp - R), (0, Ep - E)))
     inv_eff = jnp.pad(inv_eff, ((0, 0), (0, Tp - T)))
     alpha0 = jnp.pad(alpha0, ((0, Rp - R), (0, Tp - T)))
+    if R == 1:
+        # VPU single-replicate kernel: counts as an (E, 1) column
+        kernel = _em_kernel_r1
+        n = jnp.pad(n, ((0, 0), (0, Ep - E))).reshape(Ep, 1)
+    else:
+        kernel = _em_kernel
+        n = jnp.pad(n, ((0, Rp - R), (0, Ep - E)))
 
     alpha, iters = pl.pallas_call(
-        functools.partial(_em_kernel, cfg=cfg, n_active_txp=n_active_txp),
+        functools.partial(kernel, cfg=cfg, n_active_txp=n_active_txp),
         out_shape=(
             jax.ShapeDtypeStruct((Rp, Tp), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
