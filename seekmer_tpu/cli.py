@@ -66,6 +66,8 @@ def _add_infer(sub):
                    default="xla", help="canonical k-mer packing kernel")
     p.add_argument("--probe-backend", choices=("xla", "pallas"),
                    default="xla", help="bucket match/select kernel")
+    p.add_argument("--sig-backend", choices=("xla", "pallas"),
+                   default="xla", help="EC signature-extraction kernel")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host process group "
                         "(jax.distributed; set JAX_COORDINATOR_ADDRESS etc.)")
@@ -142,6 +144,7 @@ def cmd_infer(args) -> int:
             probe_chunks=args.probe_chunks,
             pack_backend=args.pack_backend,
             probe_backend=args.probe_backend,
+            sig_backend=args.sig_backend,
         ),
         em=EMConfig(
             mean_fragment_length=args.fragment_length,

@@ -95,6 +95,10 @@ class MapConfig:
     # measured faster, default) or "pallas" (ops/probe_pallas.py explicit
     # fused kernel; requires the gathered rows to round-trip HBM).
     probe_backend: str = "xla"
+    # Signature extraction (per-read sorted distinct EC ids — the EC
+    # intersection step): "xla" (two jnp row-sorts) or "pallas"
+    # (ops/sig_pallas.py fused bitonic kernel).
+    sig_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -142,14 +142,14 @@ def detect_fusions_files(index: KMerIndex, fastq_paths: List[str],
     from .config import MapConfig
     from .io.fastq import batch_read_pairs_native
     from .map.driver import Mapper
-    from .utils.prefetch import prefetch
+    from .utils.prefetch import device_put_batches, prefetch
 
     if cfg is None:
         cfg = MapConfig()
     cfg = dataclasses.replace(cfg, paired_end=True, fusion_pairs=True)
     mapper = Mapper(index, cfg)
-    batches = prefetch(batch_read_pairs_native(fastq_paths, mate_paths, cfg),
-                       depth=4)
+    batches = prefetch(device_put_batches(
+        batch_read_pairs_native(fastq_paths, mate_paths, cfg)), depth=4)
     result = mapper.run(batches)
     return call_fusions(result, index, cfg.max_ecs_per_read,
                         min_count=min_count)

@@ -54,10 +54,15 @@ class ReadBatch:
     weights: np.ndarray  # int32[B] 1 = real read, 0 = pad row
     codes2: Optional[np.ndarray] = None  # mate 2 (paired-end)
     lengths2: Optional[np.ndarray] = None
+    # set by utils.prefetch.device_put_batches before weights moves to the
+    # device, so n_real never forces a device sync in the feed loop
+    n_real_cached: Optional[int] = None
 
     @property
     def n_real(self) -> int:
-        return int(self.weights.sum())
+        if self.n_real_cached is not None:
+            return self.n_real_cached
+        return int(np.asarray(self.weights).sum())
 
     @property
     def bucket(self) -> int:

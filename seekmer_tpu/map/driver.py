@@ -126,6 +126,15 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
 
         bucket_lookup = make_bucket_lookup(interpret=_pallas_interpret())
 
+    if cfg.sig_backend == "pallas":
+        from ..em.em import _pallas_interpret
+        from ..ops.sig_pallas import read_signatures_pallas
+
+        sig_fn = functools.partial(read_signatures_pallas,
+                                   interpret=_pallas_interpret())
+    else:
+        sig_fn = read_signatures
+
     def lk(h, l, v):
         return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
                                   di.stash, di.stash_slots, di.bucket,
@@ -140,9 +149,8 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
         if cfg.fusion_pairs:
             # fusion mode: keep per-mate signatures side by side so
             # discordant pairs stay resolvable (fusion.py, SURVEY C12)
-            sig1, mapped1 = read_signatures(ecs, valid, cfg.max_ecs_per_read)
-            sig2, mapped2 = read_signatures(ecs2, valid2,
-                                            cfg.max_ecs_per_read)
+            sig1, mapped1 = sig_fn(ecs, valid, cfg.max_ecs_per_read)
+            sig2, mapped2 = sig_fn(ecs2, valid2, cfg.max_ecs_per_read)
             sig = jnp.concatenate([sig1, sig2], axis=1)
             mapped = mapped1 & mapped2
             return accumulate(table, sig, mapped, weights=weights,
@@ -150,7 +158,7 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
         ecs = jnp.concatenate([ecs, ecs2], axis=1)
         valid = jnp.concatenate([valid, valid2], axis=1)
-    sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
+    sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)
     return accumulate(table, sig, mapped, weights=weights,
                       sig_probe=cfg.sig_probe)
 

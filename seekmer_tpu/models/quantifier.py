@@ -128,9 +128,9 @@ class Quantifier:
                          mapper=None,
                          checkpoint_path: Optional[str] = None,
                          checkpoint_every: int = 50) -> QuantResult:
-        from ..utils.prefetch import prefetch
+        from ..utils.prefetch import device_put_batches, prefetch
 
-        batches = prefetch(batches, depth=4)
+        batches = prefetch(device_put_batches(batches), depth=4)
         t0 = time.perf_counter()
         if mapper is None:
             mapper = self._make_mapper()
