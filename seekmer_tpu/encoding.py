@@ -74,14 +74,46 @@ def canonical_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         return (np.empty(0, np.uint64), np.empty(0, bool))
     bad = codes > 3
     safe = np.where(bad, 0, codes).astype(np.uint64)
-    fwd = np.zeros(P, np.uint64)
-    rc = np.zeros(P, np.uint64)
-    anybad = np.zeros(P, bool)
-    for j in range(k):
-        c = safe[j : j + P]
-        fwd |= c << np.uint64(2 * (k - 1 - j))
-        rc |= (np.uint64(3) - c) << np.uint64(2 * j)
-        anybad |= bad[j : j + P]
+
+    def pack_windows(vals: np.ndarray) -> np.ndarray:
+        # MSB-first double-and-add window pack: O(log k) passes instead of
+        # k, writing through two ping-pong scratch buffers — fresh numpy
+        # allocations cost ~35ns/page in first-touch faults on this class
+        # of host, which made a naive O(log k) version slower than the
+        # k-pass one it replaced.
+        n = vals.size
+        buf0 = np.empty(n, np.uint64)
+        buf1 = np.empty(n, np.uint64)
+
+        def other(cur):
+            return buf1 if cur is buf0 else buf0
+
+        out = vals  # width 1; never written
+        aw = 1
+        for bit in bin(k)[3:]:  # binary digits of k after the MSB
+            ln = n - 2 * aw + 1  # windows of width 2*aw
+            dst = other(out)
+            np.left_shift(out[:ln], np.uint64(2 * aw), out=dst[:ln])
+            np.bitwise_or(dst[:ln], out[aw : aw + ln], out=dst[:ln])
+            out, aw = dst, 2 * aw
+            if bit == "1":
+                ln = n - aw  # windows of width aw+1
+                dst = other(out)
+                np.left_shift(out[:ln], np.uint64(2), out=dst[:ln])
+                np.bitwise_or(dst[:ln], vals[aw : aw + ln], out=dst[:ln])
+                out, aw = dst, aw + 1
+        return out[:P]
+
+    fwd = pack_windows(safe)
+    # rc window i = pack of complemented, reversed codes at mirror
+    # position; materialize contiguously — reverse-strided views defeat
+    # numpy vectorization inside pack_windows
+    rev = np.ascontiguousarray((np.uint64(3) - safe)[::-1])
+    rc = np.ascontiguousarray(pack_windows(rev)[::-1])
+    # window validity via one cumulative sum over the bad mask
+    cs = np.zeros(codes.size + 1, np.int64)
+    np.cumsum(bad, out=cs[1:])
+    anybad = (cs[k:] - cs[:-k]) > 0
     return np.minimum(fwd, rc), ~anybad
 
 

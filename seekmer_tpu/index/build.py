@@ -106,23 +106,37 @@ def group_equivalence_classes(
     new_key[1:] = keys[1:] != keys[:-1]
     starts = np.flatnonzero(new_key)
     unique_keys = keys[starts]
-    group_id = np.cumsum(new_key) - 1
     group_len = np.diff(np.append(starts, keys.size)).astype(np.int64)
 
-    # Order-sensitive 128-bit fingerprint of each group's (sorted) tid list.
-    pos = np.arange(keys.size, dtype=np.int64) - starts[group_id]
+    # Order-sensitive 128-bit fingerprint of each group's (sorted) tid
+    # list. Position-in-group via repeat (cumsum over a 17M bool + a 17M
+    # gather cost more); c2 derives from c1 with shift/xor/add only —
+    # 64-bit multiplies are scalar without AVX512DQ, so each one saved is
+    # a full slow pass over the pair stream.
+    pos = np.arange(keys.size, dtype=np.int64) - np.repeat(starts, group_len)
     t64 = tids.astype(np.uint64)
     p64 = pos.astype(np.uint64)
     c1 = _mix64(t64 * _M3 + p64)
-    c2 = _mix64((t64 + _M3) ^ (p64 * _M2))
+    c2 = c1 ^ (c1 >> np.uint64(29)) ^ (t64 << np.uint64(31)) ^ _M2
     h1 = np.add.reduceat(c1, starts) if starts.size else np.empty(0, np.uint64)
     h2 = np.add.reduceat(c2, starts) if starts.size else np.empty(0, np.uint64)
 
-    sig = np.stack([h1, h2, group_len.astype(np.uint64)], axis=1)
-    _, first_idx, key_ec = np.unique(
-        sig, axis=0, return_index=True, return_inverse=True
-    )
-    key_ec = key_ec.reshape(-1).astype(np.int32)
+    # fold the group length into the fingerprints (the order-sensitive
+    # sums already encode membership; the explicit fold is free) and group
+    # by 2-key lexsort: np.unique(axis=0) views rows as void dtype and
+    # memcmp-sorts them — measured ~3x slower at GENCODE scale.
+    gl = group_len.astype(np.uint64)
+    h1 = h1 ^ _mix64(gl * _M1)
+    h2 = h2 + _mix64(gl ^ _M2)
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    new_ec = np.ones(a.size, dtype=bool)
+    new_ec[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    ec_sorted = np.cumsum(new_ec) - 1
+    key_ec = np.empty(a.size, np.int64)
+    key_ec[order] = ec_sorted
+    key_ec = key_ec.astype(np.int32)
+    first_idx = order[np.flatnonzero(new_ec)]
 
     # EC member lists from each EC's first key group.
     ec_starts = starts[first_idx]
@@ -251,7 +265,7 @@ def build_index(
 
 def compute_run_lengths(
     seqs: list[str], unique_keys: np.ndarray, key_ec: np.ndarray, k: int,
-    cap: int = 127,
+    cap: int = 127, kmer_stream=None,
 ) -> np.ndarray:
     """Per-k-mer EC-run guarantee ``d``: for every occurrence of the k-mer,
     in every transcript and either direction, the ``d`` adjacent windows
@@ -264,9 +278,14 @@ def compute_run_lengths(
     if not seqs:
         return d_min
     # one pass over the separator-joined transcriptome: separator windows
-    # are invalid (ec = -1) and break runs exactly at transcript borders
-    codes, _ = _concat_codes(list(seqs))
-    keys, valid = canonical_kmers(codes, k)
+    # are invalid (ec = -1) and break runs exactly at transcript borders.
+    # ``kmer_stream`` (keys, valid) lets the caller reuse the pass already
+    # done by collect_kmer_pairs.
+    if kmer_stream is not None:
+        keys, valid = kmer_stream
+    else:
+        codes, _ = _concat_codes(list(seqs))
+        keys, valid = canonical_kmers(codes, k)
     ki = np.searchsorted(unique_keys, keys)
     ki = np.minimum(ki, max(unique_keys.size - 1, 0))
     present = valid & (unique_keys[ki] == keys)
@@ -274,23 +293,25 @@ def compute_run_lengths(
     P = ec.size
     change = np.ones(P, dtype=bool)
     change[1:] = ec[1:] != ec[:-1]
-    run_id = np.cumsum(change) - 1
     starts = np.flatnonzero(change)
     run_len = np.diff(np.append(starts, P))
-    pos_in_run = np.arange(P) - starts[run_id]
-    d_fwd = run_len[run_id] - 1 - pos_in_run
+    # per-position run geometry via repeat (no cumsum/gather passes)
+    pos_in_run = np.arange(P, dtype=np.int64) - np.repeat(starts, run_len)
+    d_fwd = np.repeat(run_len, run_len) - 1 - pos_in_run
     d_bwd = pos_in_run
     d = np.minimum(np.minimum(d_fwd, d_bwd), cap).astype(np.int32)
-    # per-key min via sort + reduceat (np.minimum.at is a scalar loop)
-    kp, dp = ki[present], d[present]
-    order = np.argsort(kp, kind="stable")
-    kp, dp = kp[order], dp[order]
-    first = np.ones(kp.size, dtype=bool)
-    first[1:] = kp[1:] != kp[:-1]
-    starts = np.flatnonzero(first)
-    if starts.size:
-        mins = np.minimum.reduceat(dp, starts)
-        d_min[kp[starts]] = np.minimum(d_min[kp[starts]], mins)
+    # per-key min via ONE value sort of (key_index << 7 | d): the first
+    # entry of each key group carries its minimum d (d <= cap < 128).
+    # An argsort-based reduceat costs ~6x more at GENCODE scale.
+    m = (ki[present].astype(np.int64) << 7) | d[present]
+    m.sort()
+    kk = m >> 7
+    first = np.ones(kk.size, dtype=bool)
+    first[1:] = kk[1:] != kk[:-1]
+    fi = np.flatnonzero(first)
+    if fi.size:
+        kf = kk[fi]
+        d_min[kf] = np.minimum(d_min[kf], (m[fi] & 127).astype(np.int32))
     return d_min
 
 
@@ -301,7 +322,23 @@ def build_index_from_seqs(
     cfg: IndexConfig = IndexConfig(),
     genes: Optional[list[str]] = None,
 ) -> KMerIndex:
-    keys, tids, lengths = collect_kmer_pairs(seqs, cfg.k)
+    # one canonical-k-mer pass over the separator-joined transcriptome,
+    # shared by pair collection and the run-length pass
+    seqs = list(seqs)
+    lengths = np.fromiter((len(s_) for s_ in seqs), np.int32,
+                          len(seqs)) if seqs else np.empty(0, np.int32)
+    if seqs:
+        codes, starts = _concat_codes(seqs)
+        all_keys, all_valid = canonical_kmers(codes, cfg.k)
+        pos = np.flatnonzero(all_valid)
+        keys = all_keys[pos]
+        tids = (np.searchsorted(starts, pos, side="right") - 1).astype(
+            np.int32)
+    else:
+        all_keys = np.empty(0, np.uint64)
+        all_valid = np.empty(0, bool)
+        keys = np.empty(0, np.uint64)
+        tids = np.empty(0, np.int32)
     log.info("collected %d k-mer pairs from %d transcripts", keys.size, len(names))
     unique_keys, key_ec, ec_offsets, ec_transcripts = group_equivalence_classes(
         keys, tids
@@ -310,7 +347,8 @@ def build_index_from_seqs(
              unique_keys.size, cfg.k, ec_offsets.size - 1)
     tables = build_tables(unique_keys, key_ec, cfg.k, cfg)
     if cfg.run_length_aux:
-        d_min = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k)
+        d_min = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k,
+                                    kmer_stream=(all_keys, all_valid))
         _fill_aux(tables["table"], unique_keys, d_min, cfg.k)
         _fill_aux(tables["stash"], unique_keys, d_min, cfg.k)
 
