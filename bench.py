@@ -130,17 +130,20 @@ def main() -> int:
     log(f"[bench] EM: {int(iters)} iters in {em_dt:.2f}s "
         f"({em_it_s:,.0f} it/s); TPM max-abs-err vs f64 oracle: {tpm_err:.3g}")
 
-    # steady-state EM iteration rate: force a fixed 2000-iteration run so
-    # kernel-launch overhead amortizes (BASELINE metric "EM iterations/s")
+    # steady-state EM iteration rate (BASELINE metric "EM iterations/s"):
+    # fixed 2000-iteration runs, several enqueued before one sync — every
+    # synchronized dispatch pays a large variable tunnel overhead on this
+    # chip (docs/PERFORMANCE.md measurement methodology)
     ss_cfg = EMConfig(rel_tol=0.0, min_iters=2000, max_iters=2000)
     alpha_ss, it_ss = run_em(ec, index.lengths, ss_cfg)  # warm/compile
     jax.block_until_ready(alpha_ss)
+    reps = 10
     t0 = time.perf_counter()
-    alpha_ss, it_ss = run_em(ec, index.lengths, ss_cfg)
-    jax.block_until_ready(alpha_ss)
-    em_ss_it_s = int(it_ss) / (time.perf_counter() - t0)
+    outs = [run_em(ec, index.lengths, ss_cfg) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    em_ss_it_s = reps * int(it_ss) / (time.perf_counter() - t0)
     log(f"[bench] EM steady-state: {em_ss_it_s:,.0f} it/s "
-        f"({int(it_ss)} fixed iters)")
+        f"({reps}x{int(it_ss)} fixed iters)")
 
     # single-CPU-core baseline (oracle mapper, same algorithm class as the
     # reference's single-threaded Cython inner loop)

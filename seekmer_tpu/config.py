@@ -114,6 +114,11 @@ class EMConfig:
     count_floor: float = 1e-8
     min_iters: int = 10
     max_iters: int = 1000
+    # The while_loop's data-dependent condition costs a device<->runtime
+    # sync per evaluation; EM steps run in counted inner blocks of this
+    # size (a converged flag freezes further updates inside a block, so
+    # results and iteration counts are EXACTLY per-iteration semantics).
+    check_every: int = 16
     # float64 EM for bit-parity with the oracle (x64 is cheap: EM cost is tiny
     # relative to mapping); float32 available for speed benchmarking.
     use_x64: bool = False
@@ -121,9 +126,12 @@ class EMConfig:
     # 100 [BASELINE.json:11]).
     bootstrap_samples: int = 0
     bootstrap_seed: int = 0
-    # EM backend: "auto" picks the fused Pallas fixed-point kernel (dense
-    # membership matrix resident in VMEM, MXU contractions) when the system
-    # fits and float32 suffices, else the flat-CSR segment-sum path.
+    # EM backend. "auto" = the flat-CSR segment-sum while_loop: with the
+    # convergence check hoisted to counted blocks (check_every) it measures
+    # ~100x the dense Pallas kernel at every scale, because nnz << E*T
+    # (docs/PERFORMANCE.md). "pallas" forces the fused dense fixed-point
+    # kernel (ops/em_pallas.py, the explicit-kernel form; VMEM-sized
+    # systems only); "csr" forces the sparse path explicitly.
     backend: str = "auto"  # "auto" | "csr" | "pallas"
 
 

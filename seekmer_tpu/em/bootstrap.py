@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EMConfig
-from .em import ECTable, effective_lengths, em_step
+from .em import ECTable, effective_lengths, em_step, run_blocked_fixed_point
 
 
 def resample_counts(key, counts, num_samples: int):
@@ -65,22 +65,8 @@ def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
     n_per = cmat.sum(axis=1, keepdims=True)
     alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype).reshape(-1)
 
-    def cond(state):
-        it, all_conv, _ = state
-        return (~all_conv | (it < cfg.min_iters)) & (it < cfg.max_iters)
-
-    def body(state):
-        it, _, alpha = state
-        alpha_new = em_step(alpha, ec_flat, eff_b)
-        active = alpha_new > cfg.count_floor
-        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        all_conv = active.any() & (
-            jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
-        return it + 1, all_conv, alpha_new
-
-    it, _, alpha = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
-    )
+    it, _, alpha = run_blocked_fixed_point(
+        lambda a: em_step(a, ec_flat, eff_b), alpha0, cfg)
     return alpha.reshape(B, T), it
 
 

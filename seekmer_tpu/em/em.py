@@ -93,6 +93,48 @@ def em_step(alpha, ec: ECTable, eff):
     return jax.ops.segment_sum(r, ec.txp_ids, num_segments=ec.num_transcripts)
 
 
+def convergence_check(alpha_m, alpha_new, cfg: EMConfig):
+    """max relative change over active transcripts < rel_tol. active.any()
+    guards vacuous convergence (a collapsed alpha would otherwise pass the
+    test with no active transcripts)."""
+    active = alpha_new > cfg.count_floor
+    rel = jnp.abs(alpha_new - alpha_m) / (alpha_new + cfg.abs_floor)
+    return active.any() & (jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
+
+
+def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig):
+    """Iterate ``alpha -> em_iter(alpha)`` to convergence, checking every
+    cfg.check_every iterations. Returns (it, converged, alpha).
+
+    Data-dependent control flow costs a device<->runtime sync per
+    evaluation on this backend (measured ~30-130us, vs ~0.3us/iteration
+    for a counted loop), so each while_loop round runs check_every-1 raw
+    counted EM steps plus one monitored step, and tests convergence
+    between the block's last two iterates. Iteration counts are therefore
+    multiples of check_every and max_iters is rounded up to a whole block
+    — the numpy oracle (tests/oracle) implements the identical rule, so
+    device/oracle parity is exact. Shared by the CSR EM, the batched
+    bootstrap EM, and the collective (psum) EM; the Pallas kernels mirror
+    the same schedule in-kernel.
+    """
+    C = max(cfg.check_every, 1)
+
+    def cond(state):
+        it, converged, _ = state
+        return (~converged) & (it < cfg.max_iters)
+
+    def body(state):
+        it, _, alpha = state
+        alpha_m = jax.lax.fori_loop(0, C - 1, lambda i, a: em_iter(a), alpha)
+        alpha_new = em_iter(alpha_m)
+        converged = (convergence_check(alpha_m, alpha_new, cfg)
+                     & (it + C >= cfg.min_iters))
+        return it + C, converged, alpha_new
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
 )
@@ -106,24 +148,8 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
     alpha0 = (jnp.full((T,), N / T, dtype=dtype)
               if alpha_init is None else alpha_init.astype(dtype))
 
-    def cond(state):
-        it, converged, _ = state
-        return (~converged | (it < cfg.min_iters)) & (it < cfg.max_iters)
-
-    def body(state):
-        it, _, alpha = state
-        alpha_new = em_step(alpha, ec, eff)
-        active = alpha_new > cfg.count_floor
-        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        # active.any() guards vacuous convergence (a collapsed alpha would
-        # otherwise pass the test with no active transcripts)
-        converged = active.any() & (
-            jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
-        return it + 1, converged, alpha_new
-
-    it, _, alpha = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
-    )
+    it, _, alpha = run_blocked_fixed_point(
+        lambda a: em_step(a, ec, eff), alpha0, cfg)
     return alpha, it
 
 
@@ -142,8 +168,16 @@ def _pallas_interpret() -> bool:
 def _use_pallas(ec: ECTable, cfg: EMConfig, replicates: int = 1) -> bool:
     from ..ops.em_pallas import fits_pallas
 
-    if cfg.backend == "csr" or cfg.use_x64:
+    if cfg.use_x64 or cfg.backend == "csr":
         return False
+    if cfg.backend == "auto" and replicates == 1:
+        # single-run auto = CSR: its per-iteration arrays are tiny
+        # (alpha/w/r over nnz), so the while_loop runs VMEM-resident —
+        # measured ~65x the dense kernel at config-1 scale
+        return False
+    # batched auto = the dense kernel when it fits: the replicate axis
+    # turns the contractions into real MXU matmuls, ~100x the flat-batched
+    # CSR whose R*nnz gathers are HBM-bound (docs/PERFORMANCE.md)
     ok = fits_pallas(ec.num_ecs, ec.num_transcripts, replicates)
     if cfg.backend == "pallas" and not ok:
         raise ValueError("system too large for the Pallas EM kernel")

@@ -61,18 +61,26 @@ def _em_kernel(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
             preferred_element_type=jnp.float32)  # (R, T)
         return x * back
 
+    # blocked schedule identical to em.run_blocked_fixed_point (and the
+    # numpy oracle): check_every-1 raw steps + one monitored step per
+    # while round, so iteration counts agree across all backends
+    C = max(cfg.check_every, 1)
+
     def cond(state):
         it, converged, _ = state
-        return ((~converged) | (it < cfg.min_iters)) & (it < cfg.max_iters)
+        return (~converged) & (it < cfg.max_iters)
 
     def body(state):
         it, _, alpha = state
-        alpha_new = one_iter(alpha)
+        alpha_m = jax.lax.fori_loop(0, C - 1, lambda i, a: one_iter(a),
+                                    alpha)
+        alpha_new = one_iter(alpha_m)
         active = (alpha_new > cfg.count_floor) & real_txp
-        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        converged = active.any() & (
-            jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
-        return it + 1, converged, alpha_new
+        rel = jnp.abs(alpha_new - alpha_m) / (alpha_new + cfg.abs_floor)
+        converged = (active.any()
+                     & (jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
+                     & (it + C >= cfg.min_iters))
+        return it + C, converged, alpha_new
 
     it, _, alpha = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.bool_(False), alpha0_ref[:])
@@ -107,18 +115,26 @@ def _em_kernel_r1(n_ref, M_ref, inv_eff_ref, alpha0_ref, alpha_out_ref,
         back = jnp.sum(M * r, axis=0, keepdims=True)          # (1, T)
         return x * back
 
+    # blocked schedule identical to em.run_blocked_fixed_point (and the
+    # numpy oracle): check_every-1 raw steps + one monitored step per
+    # while round, so iteration counts agree across all backends
+    C = max(cfg.check_every, 1)
+
     def cond(state):
         it, converged, _ = state
-        return ((~converged) | (it < cfg.min_iters)) & (it < cfg.max_iters)
+        return (~converged) & (it < cfg.max_iters)
 
     def body(state):
         it, _, alpha = state
-        alpha_new = one_iter(alpha)
+        alpha_m = jax.lax.fori_loop(0, C - 1, lambda i, a: one_iter(a),
+                                    alpha)
+        alpha_new = one_iter(alpha_m)
         active = (alpha_new > cfg.count_floor) & real_txp
-        rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-        converged = active.any() & (
-            jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
-        return it + 1, converged, alpha_new
+        rel = jnp.abs(alpha_new - alpha_m) / (alpha_new + cfg.abs_floor)
+        converged = (active.any()
+                     & (jnp.max(jnp.where(active, rel, 0.0)) < cfg.rel_tol)
+                     & (it + C >= cfg.min_iters))
+        return it + C, converged, alpha_new
 
     it, _, alpha = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.bool_(False), alpha0_ref[:])

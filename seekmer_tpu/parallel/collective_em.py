@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EMConfig, ShardConfig
-from ..em.em import ECTable, effective_lengths
+from ..em.em import ECTable, effective_lengths, run_blocked_fixed_point
 
 
 def shard_ec_table(ec: ECTable, n_shards: int) -> ECTable:
@@ -72,22 +72,7 @@ def run_em_collective(
             part = jax.ops.segment_sum(r, txp_ids, num_segments=T)
             return jax.lax.psum(part, axis)
 
-        def cond(state):
-            it, converged, _ = state
-            return (~converged | (it < cfg.min_iters)) & (it < cfg.max_iters)
-
-        def body(state):
-            it, _, alpha = state
-            alpha_new = one_iter(alpha)
-            active = alpha_new > cfg.count_floor
-            rel = jnp.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-            converged = active.any() & (
-                jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
-            return it + 1, converged, alpha_new
-
-        it, _, alpha = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.bool_(False), alpha0)
-        )
+        it, _, alpha = run_blocked_fixed_point(one_iter, alpha0, cfg)
         return alpha, it
 
     sm = jax.shard_map(

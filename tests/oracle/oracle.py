@@ -120,21 +120,34 @@ def run_em(
     eff = effective_lengths(lengths, cfg)
     N = counts.sum()
     alpha = np.full(T, N / T if T else 0.0, dtype=np.float64)
-    it = 0
-    for it in range(1, cfg.max_iters + 1):
-        alpha_new = np.zeros(T, dtype=np.float64)
+
+    def em_iter(a):
+        a_new = np.zeros(T, dtype=np.float64)
         for members, n in zip(member_lists, counts):
-            w = alpha[members] / eff[members]
+            w = a[members] / eff[members]
             s = w.sum()
             if s > 0:
-                alpha_new[members] += n * (w / s)
-        if it >= cfg.min_iters:
-            active = alpha_new > cfg.count_floor
-            rel = np.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
-            if not active.any() or rel[active].max() < cfg.rel_tol:
-                alpha = alpha_new
-                break
+                a_new[members] += n * (w / s)
+        return a_new
+
+    # blocked convergence schedule, identical to the device's
+    # em.run_blocked_fixed_point: check_every-1 raw steps + one monitored
+    # step per block; convergence tested between the block's last two
+    # iterates; iteration counts are multiples of check_every
+    C = max(cfg.check_every, 1)
+    it = 0
+    while it < cfg.max_iters:
+        for _ in range(C - 1):
+            alpha = em_iter(alpha)
+        alpha_new = em_iter(alpha)
+        active = alpha_new > cfg.count_floor
+        rel = np.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
+        converged = (active.any() and rel[active].max() < cfg.rel_tol
+                     and it + C >= cfg.min_iters)
         alpha = alpha_new
+        it += C
+        if converged:
+            break
     return alpha, it
 
 

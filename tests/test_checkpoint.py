@@ -84,6 +84,7 @@ def test_em_snapshot_roundtrip_and_warm_start(tmp_path, world):
     # warm start from the converged alpha: converges immediately
     alpha3, it3 = run_em(ec, index.lengths, em_cfg,
                          alpha_init=np.asarray(alpha))
-    assert int(it3) <= em_cfg.min_iters + 1
+    # converges at the first block boundary at/after min_iters
+    assert int(it3) <= em_cfg.min_iters + em_cfg.check_every
     np.testing.assert_allclose(np.asarray(alpha3), np.asarray(alpha),
                                rtol=1e-5, atol=1e-5)

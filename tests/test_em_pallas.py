@@ -52,7 +52,8 @@ def test_pallas_em_warm_start(system):
     ec = build_ec_table(members, counts, T)
     alpha, _ = run_em(ec, lengths, cfg)
     alpha2, it2 = run_em(ec, lengths, cfg, alpha_init=np.asarray(alpha))
-    assert int(it2) <= cfg.min_iters + 1
+    # converges at the first block boundary at/after min_iters
+    assert int(it2) <= cfg.min_iters + cfg.check_every
 
 
 def test_pallas_bootstrap_matches_shapes(system):
