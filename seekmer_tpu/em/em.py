@@ -191,8 +191,8 @@ def run_em(
 
     ``alpha_init`` warm-starts the fixed point (checkpoint resume,
     SURVEY.md 5.3: "EM restarts from last alpha snapshot"). Backend per
-    EMConfig.backend: the fused Pallas kernel when the dense membership
-    matrix fits VMEM, else the flat-CSR while_loop.
+    EMConfig.backend: auto = the flat-CSR while_loop (VMEM-resident for
+    single runs — see _use_pallas for the measured policy).
     """
     if _use_pallas(ec, cfg):
         from ..ops.em_pallas import em_fixed_point

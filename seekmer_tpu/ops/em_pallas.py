@@ -15,8 +15,11 @@ kernel keeps alpha, M, n and eff resident in VMEM and runs the whole
 no HBM traffic after the initial fill. The replicate axis R batches
 bootstrap resamples into genuine matmuls [BASELINE.json:11].
 
-Large systems (GENCODE-scale E*T) use the flat-CSR segment-sum path in
-em/em.py instead; em/em.py picks the backend by size.
+em/em.py picks backends (auto: single-run EM uses the flat-CSR
+while_loop, which measures far faster for R=1; this kernel wins for
+BATCHED bootstrap replicates, where the replicate axis turns the
+contractions into real MXU matmuls — see _use_pallas and
+docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
