@@ -72,8 +72,83 @@ def main():
     timed("1 round, G=16 bucket (N,64)", rounds_bucket(16, 1), table, idx)
 
 
+def size_sweep():
+    """Gather rate vs TABLE SIZE and index locality.
+
+    Config 2 (GENCODE, ~1GB table) maps at ~34M probed lanes/s while the
+    64MB-table micro number is ~75M lanes/s — this sweep isolates whether
+    the wide bucket gather itself slows down on large tables (TLB/DRAM
+    row locality) and whether clustered indices recover the rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    N = 5_000_000
+    rng = np.random.default_rng(0)
+    REPS = 5
+
+    def timed(name, fn, table, idx_list):
+        # MEASUREMENT PROTOCOL (hard-won): jit ONCE and reuse the wrapper,
+        # feed a DISTINCT pre-uploaded index array per rep. Re-calling
+        # jax.jit(fn) inside the timing loop on this remote-tunneled
+        # platform returned ~0.25ms for a 2.5GB gather (10 TB/s —
+        # impossible); a single wrapper + distinct inputs measures 46ms.
+        f = jax.jit(fn)
+        out = jax.block_until_ready(f(table, idx_list[0]))
+        t0 = time.perf_counter()
+        for k in range(1, REPS + 1):
+            out = jax.block_until_ready(f(table, idx_list[k]))
+        dt = (time.perf_counter() - t0) / REPS
+        log(f"{name:52s} {dt*1e3:9.2f} ms  {N/dt/1e6:8.1f} Mlane/s")
+        return dt
+
+    def col2(t, i):
+        # [:, 2] fuses into the gather: only 4B/lane is read
+        return t[i][:, 2]
+
+    def fullrow(t, i):
+        # consuming every column forces the full 512B row read —
+        # this is what the probe's 32-slot compare does
+        return t[i].sum(axis=1)
+
+    for mb in (64, 256, 1024):
+        S = (mb << 20) // 16          # slots of 16B
+        NB = S // 32                  # 32-slot buckets, 512B rows
+        tb = jnp.asarray(
+            rng.integers(0, 1 << 20, size=(NB, 128), dtype=np.int32))
+
+        def uploads(nbuckets, transform=None):
+            out = []
+            for _ in range(REPS + 1):
+                ix = rng.integers(0, nbuckets, size=N, dtype=np.int32)
+                out.append(jnp.asarray(transform(ix) if transform else ix))
+            jax.block_until_ready(out)
+            return out
+
+        shift = max(int(NB - 1).bit_length() - 8, 0)
+        for tag, tr in (("random", None), ("sorted", np.sort),
+                        ("binned256",
+                         lambda ix: ix[np.argsort(ix >> shift,
+                                                  kind="stable")])):
+            idx_list = uploads(NB, tr)
+            timed(f"{mb:5d}MB G=32 col-only, {tag}", col2, tb, idx_list)
+            timed(f"{mb:5d}MB G=32 full-row, {tag}", fullrow, tb, idx_list)
+        # narrower rows on the same table bytes
+        tb16 = tb.reshape(NB * 2, 64)
+        timed(f"{mb:5d}MB G=16 full-row, random", fullrow, tb16,
+              uploads(NB * 2))
+        tb8 = tb.reshape(NB * 4, 32)
+        timed(f"{mb:5d}MB G=8  full-row, random", fullrow, tb8,
+              uploads(NB * 4))
+        del tb, tb16, tb8
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "size":
+        size_sweep()
+    else:
+        main()
 
 def probe_bench():
     """Isolated lookup_ecs_aux timing at realistic shapes."""
@@ -90,9 +165,11 @@ def probe_bench():
     n = 1_250_000
     keys = np.unique(rng.integers(0, 1 << 50, size=n, dtype=np.uint64))
     vals = np.arange(keys.size, dtype=np.int32)
+    from seekmer_tpu.ops.probe import device_table_layout
     for G in (8, 16, 32):
         t = build_tables(keys, vals, 25, IndexConfig(bucket_size=G))
-        table = jnp.asarray(t["table"]); stash = jnp.asarray(t["stash"])
+        table = jnp.asarray(device_table_layout(t["table"], G))
+        stash = jnp.asarray(device_table_layout(t["stash"], G))
         N = 5_000_000
         hi = jnp.asarray(rng.integers(0, 1 << 24, size=N, dtype=np.int64).astype(np.int32))
         lo = jnp.asarray(rng.integers(0, 1 << 26, size=N, dtype=np.int64).astype(np.int32))

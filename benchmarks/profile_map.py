@@ -86,30 +86,80 @@ def main():
                        sig_probe=cfg.sig_probe)
         return run, table
 
+    def readback(out):
+        # Force a real host round-trip: block_until_ready on this
+        # remote-tunneled platform sometimes returns before execution
+        # finishes (measured: 0.12ms reported for a 33ms gather), so every
+        # timing ends with an actual value readback instead.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf.reshape(-1)[:8]).sum()
+
     def bench(name, fn):
+        # slope protocol: time n and 2n enqueued batches (async dispatch,
+        # one readback at the end of each); the difference is n batches of
+        # pure device compute, with the ~22ms tunnel sync cost cancelled.
         out = fn(di.table, di.stash, codes_d[0])
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(1, args.batches):
-            out = fn(di.table, di.stash, codes_d[i])
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / (args.batches - 1)
+        readback(out)
+        n = max((args.batches - 1) // 2, 1)
+
+        def run(m):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(m):
+                out = fn(di.table, di.stash, codes_d[1 + i % (args.batches - 1)])
+            readback(out)
+            return time.perf_counter() - t0
+
+        run(1)  # settle
+        t_n, t_2n = run(n), run(2 * n)
+        dt = (t_2n - t_n) / n
         log(f"{name:28s} {dt*1e3:8.2f} ms/batch "
-            f"{B/dt/1e6:8.2f} Mreads/s")
+            f"{B/dt/1e6:8.2f} Mreads/s  (sync+ovh {t_n - n*dt:+.3f}s)")
         return dt
 
+    @jax.jit
+    def stage_gather(tb, st, c):
+        # the bare bucket gather + full-row consume, no compare/select —
+        # isolates the HBM cost from the vector work layered on it
+        hi, lo, valid = pack_canonical(c, lengths, k)
+        nb = di.main_slots // di.bucket
+        hb = hi.reshape(-1).astype(jnp.uint32) & jnp.uint32(nb - 1)
+        return tb[hb.astype(jnp.int32)].sum(axis=1)
+
+    @jax.jit
+    def stage_probe_nostash(tb, st, c):
+        # main-bucket lookup only (no stash pass / block compaction):
+        # bounds what the two-table guarantee costs on top of one lookup
+        from seekmer_tpu.ops.hash import hash_kmer as hk
+        from seekmer_tpu.ops.probe import _bucket_lookup
+
+        hi, lo, valid = pack_canonical(c, lengths, k)
+        ec, aux, found, full = _bucket_lookup(
+            hi.reshape(-1), lo.reshape(-1), tb, di.main_slots, di.bucket, hk)
+        return jnp.where(valid.reshape(-1) & found, ec, -1)
+
     t_pack = bench("pack_canonical", stage_pack)
+    t_gather = bench("pack+bare bucket gather", stage_gather)
+    t_nostash = bench("pack+main-bucket lookup", stage_probe_nostash)
     t_probe = bench("pack+probe", stage_probe)
     t_sig = bench("pack+probe+signature", stage_sig)
 
     run, table = stage_full()
     table = run(codes_d[0], table)
-    jax.block_until_ready(table)
-    t0 = time.perf_counter()
-    for i in range(1, args.batches):
-        table = run(codes_d[i], table)
-    jax.block_until_ready(table)
-    t_full = (time.perf_counter() - t0) / (args.batches - 1)
+    readback(table)
+    n = max((args.batches - 1) // 2, 1)
+
+    def run_m(m, table):
+        t0 = time.perf_counter()
+        for i in range(m):
+            table = run(codes_d[1 + i % (args.batches - 1)], table)
+        readback(table)
+        return time.perf_counter() - t0, table
+
+    _, table = run_m(1, table)
+    t_n, table = run_m(n, table)
+    t_2n, table = run_m(2 * n, table)
+    t_full = (t_2n - t_n) / n
     log(f"{'full step':28s} {t_full*1e3:8.2f} ms/batch "
         f"{B/t_full/1e6:8.2f} Mreads/s")
     log(f"breakdown: pack {t_pack*1e3:.1f} | probe {t_probe*1e3 - t_pack*1e3:.1f} | "

@@ -158,6 +158,7 @@ def build_bucket_table(
     n_buckets: int,
     bucket: int,
     hash_fn,
+    aux: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Place keys in their home bucket (hash & (n_buckets-1)); a bucket holds
     ``bucket`` slots. Keys that do not fit (home bucket full) are returned as
@@ -189,7 +190,7 @@ def build_bucket_table(
     table[slot, 0] = hi[src]
     table[slot, 1] = lo[src]
     table[slot, 2] = vals[src]
-    table[slot, 3] = 0
+    table[slot, 3] = 0 if aux is None else aux[src]
     return table, overflow
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hash import hash_kmer, hash_kmer_stash
 
@@ -31,35 +32,68 @@ MISS = jnp.int32(-1)
 
 _BLK = 32  # block-compaction granularity (lanes)
 
+# ec and aux (EC run length, <= 127) share one int32 lane in the device
+# layout: ecaux = ec << AUX_BITS | aux, -1 for empty slots. One select+max
+# pass then recovers both — each extra (N, bucket)-shaped pass over the
+# gathered rows measured ~7 ms per 5M lanes (docs/PERFORMANCE.md).
+AUX_BITS = 7
+AUX_MASK = (1 << AUX_BITS) - 1
+MAX_EC_ID = (1 << (31 - AUX_BITS)) - 1  # 16.7M ECs (GENCODE needs ~1M)
+
 
 def device_table_layout(table, bucket: int):
-    """Reshape a host (S, 4) table to its at-rest device layout
-    (n_buckets, 4*bucket). The minor dimension is 128 int32 for bucket=32 —
-    exactly one TPU tile row. Keeping (S, 4) on device instead makes XLA
-    tile-pad the minor dim 4 -> 128 (a 32x memory blow-up: a GENCODE table
-    copy requested 32GB)."""
+    """Host (S, 4) rows [hi, lo, ec, aux] -> at-rest device layout
+    (n_buckets, 4*bucket): struct-of-arrays slabs
+    ``[hi x G | lo x G | ecaux x G | meta x G]`` per 128-int32 row (bucket
+    G=32 -> exactly one TPU tile line).
+
+    Why slabs, measured (docs/PERFORMANCE.md): interleaved (hi,lo,ec,aux)
+    quads make every field access a stride-4 cross-lane shuffle of the
+    gathered row (52.5 ms probe); contiguous slabs compare directly
+    (~2.6x less vector work). The meta slab broadcasts the per-bucket FULL
+    flag so fullness costs a lane read instead of an all-reduce over the
+    key slab. Keeping (S, 4) on device at all makes XLA tile-pad the minor
+    dim 4 -> 128 (a 32x memory blow-up: a GENCODE table copy requested
+    32GB)."""
     S = table.shape[0]
-    return table.reshape(S // bucket, bucket * 4)
+    rows = np.asarray(table).reshape(S // bucket, bucket, 4)
+    hi, lo, ec, aux = (rows[:, :, i] for i in range(4))
+    occ = hi != int(EMPTY)
+    if occ.any() and int(ec[occ].max()) > MAX_EC_ID:
+        raise ValueError(
+            f"EC id {int(ec[occ].max())} exceeds the packed-lane limit "
+            f"{MAX_EC_ID} (ecaux = ec << {AUX_BITS} | aux)")
+    ecaux = np.where(
+        occ, (ec << AUX_BITS) | np.clip(aux, 0, AUX_MASK), -1
+    ).astype(np.int32)
+    meta = np.broadcast_to(
+        occ.all(axis=1)[:, None], hi.shape).astype(np.int32)
+    return np.concatenate(
+        [hi, lo, ecaux, meta], axis=1).astype(np.int32)
 
 
 def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
-    """One bucket gather + compare. hi/lo: int32[N]; table in the
-    (n_buckets, 4*bucket) device layout (device_table_layout).
+    """One bucket gather + slab compare. hi/lo: int32[N]; table in the
+    (n_buckets, 4*bucket) slab device layout (device_table_layout).
 
     Returns (ec, aux, found, full): ec int32[N] (MISS if absent), aux
-    int32[N] (the matched row's aux column, e.g. EC run length; 0 if
+    int32[N] (the matched row's aux lane, e.g. EC run length; 0 if
     absent), ``full`` marks lanes whose home bucket has no empty slot
     (lookup must consult the stash when not found).
     """
     nb = slots // bucket
+    G = bucket
     hb = (hash_fn(hi.astype(jnp.uint32), lo.astype(jnp.uint32))
           & jnp.uint32(nb - 1)).astype(jnp.int32)
-    rows = table[hb].reshape(-1, bucket, 4)
-    match = (rows[:, :, 0] == hi[:, None]) & (rows[:, :, 1] == lo[:, None])
-    ec = jnp.max(jnp.where(match, rows[:, :, 2], MISS), axis=1)
-    aux = jnp.max(jnp.where(match, rows[:, :, 3], 0), axis=1)
-    found = match.any(axis=1)
-    full = (rows[:, :, 0] != EMPTY).all(axis=1)
+    rows = table[hb]  # (N, 4G) — one wide gather, slabs sliced below
+    match = (rows[:, :G] == hi[:, None]) & (rows[:, G:2 * G] == lo[:, None])
+    # <= 1 slot matches; empty slots hold ecaux = -1, so the max doubles
+    # as the found flag (>= 0 iff some slot matched)
+    ecaux = jnp.max(jnp.where(match, rows[:, 2 * G:3 * G], MISS), axis=1)
+    found = ecaux >= 0
+    ec = ecaux >> AUX_BITS  # arithmetic shift: -1 stays MISS
+    aux = jnp.where(found, ecaux & AUX_MASK, 0)
+    full = rows[:, 3 * G] > 0  # per-bucket flag, broadcast by the builder
     return ec, aux, found, full
 
 
@@ -71,7 +105,9 @@ def block_compact(need, max_blocks: int):
       max_blocks: static cap on compacted blocks.
 
     Returns (lane_idx int32[max_blocks*32] source lane per compacted slot
-    (N for filler slots), lost int32[] needy lanes beyond the cap).
+    (N for filler slots), lost int32[] needy lanes beyond the cap,
+    residual bool[N] the needy lanes left uncompacted — the caller loops
+    on them, so the cap bounds per-round cost without capping coverage).
     Compaction cost scales with N/32 block flags, not N lanes.
     """
     N = need.shape[0]
@@ -82,13 +118,14 @@ def block_compact(need, max_blocks: int):
     lost_blocks = blk_need & ~ok
     lost = jnp.where(
         lost_blocks, need.reshape(NB, _BLK).sum(axis=1), 0).sum()
+    residual = need & jnp.repeat(lost_blocks, _BLK)
     pos = jnp.where(ok, rank, max_blocks)
     cb = jnp.full(max_blocks + 1, NB, jnp.int32).at[pos].set(
         jnp.arange(NB, dtype=jnp.int32), mode="drop")
     lane_idx = (cb[:max_blocks, None] * _BLK
                 + jnp.arange(_BLK, dtype=jnp.int32)[None, :]).reshape(-1)
     lane_idx = jnp.minimum(lane_idx, N)  # filler blocks point at the pad lane
-    return lane_idx, lost.astype(jnp.int32)
+    return lane_idx, lost.astype(jnp.int32), residual
 
 
 def _pad_to_block(x, fill):
@@ -155,23 +192,29 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
     ec = jnp.where(hit, ec, MISS)
     aux = jnp.where(hit, aux, 0)
 
-    need = _pad_to_block(valid_f & ~found & full, False)
+    need0 = _pad_to_block(valid_f & ~found & full, False)
     # Cap sized ~5x above the expected full-bucket rate (~2e-4 at load 0.5
     # with 32-slot buckets => ~N*2e-4 needy lanes, worst case one per
     # block). The compacted gather+scatter cost is the STATIC cap size, so
-    # an oversized cap dominates the probe stage; overflow (lost > 0) falls
-    # back to the always-correct full-width stash probe.
-    max_blocks = max(need.shape[0] // _BLK // 64, 16)
-    lane_idx, lost = block_compact(need, max_blocks)
+    # an oversized cap dominates the probe stage. Coverage is NOT capped:
+    # one compacted round runs unconditionally, and residual needy blocks
+    # (essentially never at the 5x margin; possible for tiny adversarial
+    # tables) are drained by a while_loop over further capped rounds —
+    # measured ~15 ms cheaper per batch than the previous
+    # lax.cond(full-width fallback), which forced the N-lane result
+    # buffers through a conditional boundary.
+    max_blocks = max(need0.shape[0] // _BLK // 64, 16)
 
     hi_ext = jnp.concatenate([hi_f, jnp.zeros(1, jnp.int32)])
     lo_ext = jnp.concatenate([lo_f, jnp.zeros(1, jnp.int32)])
-    need_ext = jnp.concatenate([need[:N], jnp.zeros(1, bool)])
 
-    def compacted(_):
+    def stash_round(state):
+        ec, aux, need = state
+        lane_idx, _, residual = block_compact(need, max_blocks)
+        li = jnp.minimum(lane_idx, N)
         c_hi = hi_ext[lane_idx]
         c_lo = lo_ext[lane_idx]
-        c_need = need_ext[jnp.minimum(lane_idx, N)]
+        c_need = jnp.concatenate([need[:N], jnp.zeros(1, bool)])[li]
         ec2, aux2, found2, _ = bucket_lookup(
             c_hi, c_lo, stash, stash_slots, bucket, hash_kmer_stash)
         write = c_need & found2
@@ -180,17 +223,11 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
         aux_ext = jnp.concatenate([aux, jnp.zeros(1, jnp.int32)])
         ec_ext = ec_ext.at[dst].set(jnp.where(write, ec2, 0), mode="drop")
         aux_ext = aux_ext.at[dst].set(jnp.where(write, aux2, 0), mode="drop")
-        return ec_ext[:N], aux_ext[:N]
+        return ec_ext[:N], aux_ext[:N], residual
 
-    def full_width(_):
-        # cap overflow (pathological need density): probe the stash for
-        # every lane — correct at full cost
-        ec2, aux2, found2, _ = bucket_lookup(
-            hi_f, lo_f, stash, stash_slots, bucket, hash_kmer_stash)
-        write = need[:N] & found2
-        return (jnp.where(write, ec2, ec), jnp.where(write, aux2, aux))
-
-    ec, aux = jax.lax.cond(lost > 0, full_width, compacted, None)
+    ec, aux, residual = stash_round((ec, aux, need0))
+    ec, aux, _ = jax.lax.while_loop(
+        lambda s: s[2].any(), stash_round, (ec, aux, residual))
     return ec, aux
 
 
@@ -271,28 +308,29 @@ def lookup_ecs_strided(
     N = B * P
     need_f = _pad_to_block(need.reshape(-1), False)
     max_blocks = max(need_f.shape[0] // _BLK // 2, 16)
-    lane_idx, lost = block_compact(need_f, max_blocks)
 
     ec0 = jnp.where(is_sample, ec_sampled, fill)
+    hi_ext = jnp.concatenate([hi.reshape(-1), jnp.zeros(1, jnp.int32)])
+    lo_ext = jnp.concatenate([lo.reshape(-1), jnp.zeros(1, jnp.int32)])
 
-    def compacted(_):
-        hi_ext = jnp.concatenate([hi.reshape(-1), jnp.zeros(1, jnp.int32)])
-        lo_ext = jnp.concatenate([lo.reshape(-1), jnp.zeros(1, jnp.int32)])
-        need_ext = jnp.concatenate([need.reshape(-1), jnp.zeros(1, bool)])
+    # one compacted dense-verification round always runs; residual needy
+    # blocks beyond the cap (very high error rate / tiny run lengths)
+    # drain through further capped rounds — exact coverage, no
+    # N-lane-buffer lax.cond (see _lookup_flat)
+    def gap_round(state):
+        ec_flat, needr = state
+        lane_idx, _, residual = block_compact(needr, max_blocks)
         li = jnp.minimum(lane_idx, N)
-        c_hi, c_lo, c_need = hi_ext[li], lo_ext[li], need_ext[li]
+        c_hi, c_lo = hi_ext[li], lo_ext[li]
+        c_need = jnp.concatenate([needr[:N], jnp.zeros(1, bool)])[li]
         ec_d = lookup_ecs(c_hi, c_lo, c_need, table, main_slots, stash,
                           stash_slots, bucket, bucket_lookup=bucket_lookup)
-        ec_ext = jnp.concatenate([ec0.reshape(-1), jnp.zeros(1, jnp.int32)])
+        ec_ext = jnp.concatenate([ec_flat, jnp.zeros(1, jnp.int32)])
         dst = jnp.where(c_need, li, N)
-        return ec_ext.at[dst].set(ec_d, mode="drop")[:N].reshape(B, P)
+        return ec_ext.at[dst].set(ec_d, mode="drop")[:N], residual
 
-    def dense_fallback(_):
-        # cap overflow (very high error rate / tiny run lengths): probe
-        # every uncovered lane full-width — correct at full cost
-        ec_d = lookup_ecs(hi, lo, need, table, main_slots, stash,
-                          stash_slots, bucket, bucket_lookup=bucket_lookup)
-        return jnp.where(need, ec_d, ec0)
-
-    ec = jax.lax.cond(lost > 0, dense_fallback, compacted, None)
+    ec_flat, residual = gap_round((ec0.reshape(-1), need_f))
+    ec_flat, _ = jax.lax.while_loop(
+        lambda s: s[1].any(), gap_round, (ec_flat, residual))
+    ec = ec_flat.reshape(B, P)
     return jnp.where(valid, ec, MISS)

@@ -47,15 +47,20 @@ def _match_kernel(hi_ref, lo_ref, rows_ref, ec_ref, aux_ref, flags_ref, *,
     """Match m*128 lanes against their gathered bucket rows.
 
     hi/lo blocks: (128, m) transposed lane layout; rows block:
-    (m*128, 4*bucket) with row j = lane (j % 128) of column (j // 128);
-    outputs (128, m): ec, aux, flags (bit0 = found, bit1 = bucket full).
-    (Mosaic requires last block dims to be multiples of 128, so m = 128.)
+    (m*128, 4*bucket) slab rows ``[hi x G | lo x G | ecaux x G | meta x G]``
+    (probe.device_table_layout) with row j = lane (j % 128) of column
+    (j // 128); outputs (128, m): ec, aux, flags (bit0 = found, bit1 =
+    bucket full). (Mosaic requires last block dims to be multiples of 128,
+    so m = 128.)
     """
-    W = 4 * bucket
+    from .probe import AUX_BITS, AUX_MASK
+
+    G = bucket
+    W = 4 * G
     col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, W), 1)
-    f = col % 4
-    is_key_hi = f == 0
-    is_key_lo = f == 1
+    is_key_hi = col < G
+    is_key_lo = (col >= G) & (col < 2 * G)
+    is_meta = col == 3 * G
     lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, m), 1)
     hi_all = hi_ref[:]
     lo_all = lo_ref[:]
@@ -73,17 +78,17 @@ def _match_kernel(hi_ref, lo_ref, rows_ref, ec_ref, aux_ref, flags_ref, *,
         lo_col = jnp.sum(jnp.where(sel, lo_all, 0), axis=1, keepdims=True)
         eq_hi = jnp.where(is_key_hi, (sub == hi_col).astype(jnp.int32), 0)
         eq_lo = jnp.where(is_key_lo, (sub == lo_col).astype(jnp.int32), 0)
-        # slot j matches iff cols 4j (hi) and 4j+1 (lo) both equal the key;
-        # align 4j+1 onto 4j with a left circular roll (shift W-1: wrapped
-        # cols land on f==3 / f==2 positions, which the f masks zeroed)
-        pair = eq_hi * pltpu.roll(eq_lo, shift=W - 1, axis=1)
-        ecs = pltpu.roll(sub, shift=W - 2, axis=1)   # ec field onto col 4j
-        auxs = pltpu.roll(sub, shift=W - 3, axis=1)  # aux field onto col 4j
-        ec = jnp.max(jnp.where(pair > 0, ecs, -1), axis=1, keepdims=True)
-        aux = jnp.max(jnp.where(pair > 0, auxs, 0), axis=1, keepdims=True)
-        found = jnp.max(pair, axis=1, keepdims=True)
-        empty = jnp.where(is_key_hi, (sub == -1).astype(jnp.int32), 0)
-        full = 1 - jnp.max(empty, axis=1, keepdims=True)
+        # slot j matches iff hi-slab col j and lo-slab col G+j both equal
+        # the key; align the lo slab onto the hi slab with a left circular
+        # roll by G (wrapped cols land outside the masked slabs)
+        pair = eq_hi * pltpu.roll(eq_lo, shift=W - G, axis=1)
+        ecauxs = pltpu.roll(sub, shift=W - 2 * G, axis=1)  # ecaux slab -> 0
+        ecaux = jnp.max(jnp.where(pair > 0, ecauxs, -1), axis=1,
+                        keepdims=True)
+        found = (ecaux >= 0).astype(jnp.int32)
+        ec = ecaux >> AUX_BITS  # arithmetic shift keeps -1 = MISS
+        aux = jnp.where(found > 0, ecaux & AUX_MASK, 0)
+        full = jnp.max(jnp.where(is_meta, sub, 0), axis=1, keepdims=True)
         return (jnp.where(sel, ec, acc_ec),
                 jnp.where(sel, aux, acc_aux),
                 jnp.where(sel, found | (full << 1), acc_fl))

@@ -63,9 +63,9 @@ class ShardedDeviceIndex:
     n_shards: int = dataclasses.field(metadata=dict(static=True))
 
 
-def _occupied_keys(table: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _occupied_keys(table: np.ndarray):
     occ = table[:, 0] != EMPTY
-    return table[occ, 0], table[occ, 1], table[occ, 2]
+    return table[occ, 0], table[occ, 1], table[occ, 2], table[occ, 3]
 
 
 def shard_index_by_prefix(
@@ -78,11 +78,12 @@ def shard_index_by_prefix(
     home bucket within the owner's table (hash bits are independent).
     """
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
-    hi1, lo1, v1 = _occupied_keys(index.table)
-    hi2, lo2, v2 = _occupied_keys(index.stash)
+    hi1, lo1, v1, a1 = _occupied_keys(index.table)
+    hi2, lo2, v2, a2 = _occupied_keys(index.stash)
     hi = np.concatenate([hi1, hi2])
     lo = np.concatenate([lo1, lo2])
     val = np.concatenate([v1, v2])
+    aux = np.concatenate([a1, a2])
     G = index.bucket
 
     h = hash_kmer(hi.view(np.uint32), lo.view(np.uint32))
@@ -95,11 +96,11 @@ def shard_index_by_prefix(
 
     def build_shard(m, stash_buckets):
         t, over = build_bucket_table(hi[m], lo[m], val[m], n_buckets, G,
-                                     hash_kmer)
+                                     hash_kmer, aux=aux[m])
         while True:
             st, s_over = build_bucket_table(
                 hi[m][over], lo[m][over], val[m][over], stash_buckets, G,
-                hash_kmer_stash)
+                hash_kmer_stash, aux=aux[m][over])
             if not s_over.any():
                 return t, st, stash_buckets
             stash_buckets *= 2
@@ -119,9 +120,12 @@ def shard_index_by_prefix(
             tables[d], stashes[d] = t, st
     log.info("prefix shards: %s keys/shard, %d buckets each", parts, n_buckets)
 
-    # at-rest device layout: (D, n_buckets, 4*G) — 128-int32 tile rows
-    tables = [t.reshape(-1, G * 4) for t in tables]
-    stashes = [t.reshape(-1, G * 4) for t in stashes]
+    # at-rest device layout: (D, n_buckets, 4*G) slab rows — 128-int32
+    # tile rows, [hi|lo|ecaux|meta] slabs (ops/probe.device_table_layout)
+    from ..ops.probe import device_table_layout
+
+    tables = [device_table_layout(t, G) for t in tables]
+    stashes = [device_table_layout(t, G) for t in stashes]
     return ShardedDeviceIndex(
         table=jnp.asarray(np.stack(tables)),
         stash=jnp.asarray(np.stack(stashes)),

@@ -35,12 +35,11 @@ def world():
 def test_shard_build_preserves_keys(world):
     index, _ = world
     sdi = shard_index_by_prefix(index, 4)
+    G = sdi.bucket
     total = 0
-    for d in range(4):  # tables are in (nb, 4*bucket) device layout
-        total += int((np.asarray(sdi.table[d]).reshape(-1, 4)[:, 0]
-                      != EMPTY).sum())
-        total += int((np.asarray(sdi.stash[d]).reshape(-1, 4)[:, 0]
-                      != EMPTY).sum())
+    for d in range(4):  # slab device layout: row = [hi*G|lo*G|ecaux*G|meta*G]
+        total += int((np.asarray(sdi.table[d])[:, :G] != EMPTY).sum())
+        total += int((np.asarray(sdi.stash[d])[:, :G] != EMPTY).sum())
     assert total == index.num_kmers
 
 
