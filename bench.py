@@ -104,7 +104,9 @@ def main() -> int:
     t0 = time.perf_counter()
     for b in pre[1:]:
         mapper.feed(b)
-    jax.block_until_ready(mapper.table)
+    # end with a real value readback: block_until_ready alone has measured
+    # returning early on this remote-tunneled platform (docs/PERFORMANCE.md)
+    np.asarray(mapper.table.count[:8])
     dt = time.perf_counter() - t0
     n_reads = args.batches * B
     device_rps = n_reads / dt
