@@ -38,6 +38,10 @@ def _add_infer(sub):
     p.add_argument("--max-ecs-per-read", type=int, default=16)
     p.add_argument("--sig-table-bits", type=int, default=20)
     p.add_argument("--fragment-length", type=float, default=200.0)
+    p.add_argument("--fragment-sd", type=float, default=0.0,
+                   help="fragment-length sd; > 0 switches the effective-"
+                        "length model to the truncated-normal FLD "
+                        "expectation")
     p.add_argument("--em-tolerance", type=float, default=1e-4)
     p.add_argument("--em-max-iters", type=int, default=1000)
     p.add_argument("--bootstrap", type=int, default=0,
@@ -148,6 +152,7 @@ def cmd_infer(args) -> int:
         ),
         em=EMConfig(
             mean_fragment_length=args.fragment_length,
+            fragment_length_sd=args.fragment_sd,
             rel_tol=args.em_tolerance,
             max_iters=args.em_max_iters,
             bootstrap_samples=args.bootstrap,

@@ -105,8 +105,16 @@ class MapConfig:
 class EMConfig:
     """Configuration for EM abundance inference (reference: seekmer infer.py)."""
 
-    # Fragment-length model: eff_len_t = max(len_t - mean_fragment_length + 1, 1).
+    # Fragment-length model (reference: seekmer infer.py effective-length
+    # computation, SURVEY.md section 3.4 — exact upstream formula is an open
+    # parameter until the reference mount is readable; both standard forms of
+    # the kallisto/salmon class are provided):
+    #   sd == 0: eff_len_t = max(len_t - mean_fragment_length + 1, 1)
+    #   sd >  0: truncated-normal FLD expectation,
+    #            eff_len_t = sum_{f<=len_t} p(f) (len_t - f + 1) / sum p(f)
+    #            with p ~ N(mean, sd) on f in [1, mean + 5 sd].
     mean_fragment_length: float = 200.0
+    fragment_length_sd: float = 0.0
     # Convergence: stop when max_t |alpha'_t - alpha_t| / (alpha'_t + abs_floor)
     # < rel_tol over transcripts with alpha'_t > count_floor, after min_iters.
     rel_tol: float = 1e-4

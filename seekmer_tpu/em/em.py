@@ -76,10 +76,29 @@ def build_ec_table(
 
 
 def effective_lengths(lengths: jnp.ndarray, cfg: EMConfig, dtype=jnp.float32):
-    return jnp.maximum(
-        lengths.astype(dtype) - jnp.asarray(cfg.mean_fragment_length, dtype) + 1.0,
-        1.0,
-    )
+    """Effective transcript lengths under the fragment-length model.
+
+    cfg.fragment_length_sd == 0 is the degenerate model
+    ``max(len - mean + 1, 1)``; sd > 0 is the truncated-normal FLD
+    expectation ``E_f[len - f + 1 | f <= len]`` (kallisto/salmon-class;
+    reference infer.py's exact form is an open parameter, SURVEY.md 3.4).
+    Computed via cumulative sums over the static fragment grid — O(T)
+    gathers, no (T, F) transient.
+    """
+    l = lengths.astype(dtype)
+    mu = jnp.asarray(cfg.mean_fragment_length, dtype)
+    if cfg.fragment_length_sd <= 0.0:
+        return jnp.maximum(l - mu + 1.0, 1.0)
+    sd = cfg.fragment_length_sd
+    F = int(np.ceil(cfg.mean_fragment_length + 5.0 * sd))
+    f = jnp.arange(1, F + 1, dtype=dtype)
+    pdf = jnp.exp(-0.5 * ((f - mu) / jnp.asarray(sd, dtype)) ** 2)
+    c0 = jnp.cumsum(pdf)
+    c1 = jnp.cumsum(pdf * f)
+    # E[len - f + 1 | f <= min(len, F)] = (len + 1) - C1/C0 at min(len, F)
+    idx = jnp.clip(lengths.astype(jnp.int32), 1, F) - 1
+    eff = (l + 1.0) - c1[idx] / c0[idx]
+    return jnp.maximum(eff, 1.0)
 
 
 def em_step(alpha, ec: ECTable, eff):

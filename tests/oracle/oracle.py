@@ -104,9 +104,20 @@ def resolve_signatures(
 
 
 def effective_lengths(lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:
-    return np.maximum(
-        lengths.astype(np.float64) - cfg.mean_fragment_length + 1.0, 1.0
-    )
+    """float64 mirror of em.effective_lengths (same two fragment-length
+    models, selected by cfg.fragment_length_sd)."""
+    l = lengths.astype(np.float64)
+    if cfg.fragment_length_sd <= 0.0:
+        return np.maximum(l - cfg.mean_fragment_length + 1.0, 1.0)
+    sd = float(cfg.fragment_length_sd)
+    mu = float(cfg.mean_fragment_length)
+    F = int(np.ceil(mu + 5.0 * sd))
+    f = np.arange(1, F + 1, dtype=np.float64)
+    pdf = np.exp(-0.5 * ((f - mu) / sd) ** 2)
+    c0 = np.cumsum(pdf)
+    c1 = np.cumsum(pdf * f)
+    idx = np.clip(lengths.astype(np.int64), 1, F) - 1
+    return np.maximum((l + 1.0) - c1[idx] / c0[idx], 1.0)
 
 
 def run_em(

@@ -70,6 +70,51 @@ def test_effective_length_floor():
     np.testing.assert_allclose(eff, [1.0, 1.0, 1.0, 801.0])
 
 
+def test_effective_length_fld_matches_oracle():
+    """Truncated-normal FLD model: device f32 matches the f64 oracle."""
+    from seekmer_tpu.em.em import effective_lengths as dev_eff
+
+    cfg = EMConfig(mean_fragment_length=200.0, fragment_length_sd=25.0)
+    lengths = np.array([50, 150, 200, 250, 400, 1000, 5000], np.int32)
+    o = oracle.effective_lengths(lengths, cfg)
+    d = np.asarray(dev_eff(lengths, cfg))
+    np.testing.assert_allclose(d, o, rtol=2e-5, atol=1e-3)
+
+
+def test_effective_length_fld_properties():
+    cfg = EMConfig(mean_fragment_length=200.0, fragment_length_sd=20.0)
+    lengths = np.arange(30, 4000, 7, dtype=np.int32)
+    eff = oracle.effective_lengths(lengths, cfg)
+    # monotone nondecreasing in transcript length, always >= 1
+    assert (np.diff(eff) >= -1e-9).all()
+    assert (eff >= 1.0).all()
+    # far above the FLD support, the expectation equals len - mean + 1
+    long = oracle.effective_lengths(np.array([100000], np.int32), cfg)
+    np.testing.assert_allclose(long, [100000 - 200.0 + 1.0], rtol=1e-9)
+    # short transcripts only admit short fragments: eff < degenerate model's
+    # floor region is replaced by a positive conditional expectation
+    short = oracle.effective_lengths(np.array([120], np.int32), cfg)
+    assert 1.0 <= short[0] < 120
+
+
+def test_em_with_fld_matches_oracle(rng):
+    T, E = 30, 70
+    lengths = rng.integers(150, 2500, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 5)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 300, size=E).astype(np.float64)
+    cfg = EMConfig(rel_tol=1e-6, max_iters=2000,
+                   mean_fragment_length=180.0, fragment_length_sd=30.0)
+    o_alpha, _ = oracle.run_em(members, counts, lengths, cfg)
+    ec = build_ec_table(members, counts, T)
+    alpha, _ = run_em(ec, lengths, cfg)
+    np.testing.assert_allclose(np.asarray(alpha), o_alpha, rtol=5e-3,
+                               atol=1e-3)
+
+
 def test_bootstrap_shapes_and_mass(rng):
     T, E, B = 20, 40, 16
     lengths = rng.integers(300, 2000, size=T).astype(np.int32)
