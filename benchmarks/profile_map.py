@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--reads-per-batch", type=int, default=65536)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--isoform", action="store_true",
+                    help="GENCODE-scale isoform world (config-2 scale; "
+                         "reuses the configs.py index cache)")
     args = ap.parse_args()
 
     import jax
@@ -40,11 +43,16 @@ def main():
     )
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
-    rng = np.random.default_rng(1)
-    names, seqs = random_transcriptome(
-        rng, num_transcripts=args.transcripts, min_len=300, max_len=3000,
-        shared_prefix_frac=0.5)
-    index = build_index_from_seqs(names, seqs)
+    if args.isoform:
+        from benchmarks.configs import _world
+
+        rng, index, seqs, _ = _world(args.transcripts, isoform=True)
+    else:
+        rng = np.random.default_rng(1)
+        names, seqs = random_transcriptome(
+            rng, num_transcripts=args.transcripts, min_len=300, max_len=3000,
+            shared_prefix_frac=0.5)
+        index = build_index_from_seqs(names, seqs)
     di = DeviceIndex.from_host(index)
     cfg = MapConfig(batch_size=args.reads_per_batch)
     B, L = args.reads_per_batch, args.read_len

@@ -51,8 +51,11 @@ def device_table_layout(table, bucket: int):
     quads make every field access a stride-4 cross-lane shuffle of the
     gathered row (52.5 ms probe); contiguous slabs compare directly
     (~2.6x less vector work). The meta slab broadcasts the per-bucket FULL
-    flag so fullness costs a lane read instead of an all-reduce over the
-    key slab. Keeping (S, 4) on device at all makes XLA tile-pad the minor
+    flag; the XLA lookup no longer reads it (a single-lane slice compiles
+    to a second narrow gather, +11 ms per 5M lanes — fullness now rides
+    the match reduce's 3-state encoding, see _bucket_lookup), but the slab
+    stays: the Pallas kernel form uses it, and 128-int32 rows are the tile
+    line. Keeping (S, 4) on device at all makes XLA tile-pad the minor
     dim 4 -> 128 (a 32x memory blow-up: a GENCODE table copy requested
     32GB)."""
     S = table.shape[0]
@@ -86,46 +89,60 @@ def _bucket_lookup(hi, lo, table, slots: int, bucket: int, hash_fn):
     hb = (hash_fn(hi.astype(jnp.uint32), lo.astype(jnp.uint32))
           & jnp.uint32(nb - 1)).astype(jnp.int32)
     rows = table[hb]  # (N, 4G) — one wide gather, slabs sliced below
-    match = (rows[:, :G] == hi[:, None]) & (rows[:, G:2 * G] == lo[:, None])
-    # <= 1 slot matches; empty slots hold ecaux = -1, so the max doubles
-    # as the found flag (>= 0 iff some slot matched)
-    ecaux = jnp.max(jnp.where(match, rows[:, 2 * G:3 * G], MISS), axis=1)
-    found = ecaux >= 0
-    ec = ecaux >> AUX_BITS  # arithmetic shift: -1 stays MISS
-    aux = jnp.where(found, ecaux & AUX_MASK, 0)
-    full = rows[:, 3 * G] > 0  # per-bucket flag, broadcast by the builder
+    hi_slab = rows[:, :G]
+    match = (hi_slab == hi[:, None]) & (rows[:, G:2 * G] == lo[:, None])
+    # One 3-state max-reduce yields match payload, found, AND fullness:
+    #   matched slot  -> its ecaux (>= 0; <= 1 slot can match)
+    #   empty slot    -> -1   (hi lane is EMPTY; real keys pack <= 30 bits)
+    #   occupied slot -> -2
+    # max >= 0 = found; max == -2 = no match AND no empty slot = the home
+    # bucket is full, consult the stash. Reading the broadcast meta lane
+    # instead measured +11 ms per 5M lanes: the single-lane slice becomes a
+    # second narrow gather, while this encoding rides the reduce already
+    # being done (benchmarks/micro_stash.py).
+    lane_val = jnp.where(
+        match, rows[:, 2 * G:3 * G],
+        jnp.where(hi_slab == EMPTY, MISS, jnp.int32(-2)))
+    m = jnp.max(lane_val, axis=1)
+    found = m >= 0
+    ec = jnp.where(found, m >> AUX_BITS, MISS)
+    aux = jnp.where(found, m & AUX_MASK, 0)
+    full = m == jnp.int32(-2)
     return ec, aux, found, full
 
 
-def block_compact(need, max_blocks: int):
-    """Compact needy lanes at 32-lane-block granularity.
+def block_compact(blk_need, max_blocks: int):
+    """Compact needy 32-lane blocks (by per-BLOCK flags, not per-lane).
 
     Args:
-      need: bool[N] (N % 32 == 0).
-      max_blocks: static cap on compacted blocks.
+      blk_need: bool[NB] per-block need flags (NB = N // 32).
+      max_blocks: static cap on compacted blocks per round.
 
     Returns (lane_idx int32[max_blocks*32] source lane per compacted slot
-    (N for filler slots), lost int32[] needy lanes beyond the cap,
-    residual bool[N] the needy lanes left uncompacted — the caller loops
-    on them, so the cap bounds per-round cost without capping coverage).
-    Compaction cost scales with N/32 block flags, not N lanes.
+    (N for filler slots), residual_blocks bool[NB] needy blocks beyond the
+    cap — the caller loops on them, so the cap bounds per-round cost
+    without capping coverage).
+
+    Everything here is NB-shaped: the measured cost of the old per-lane
+    formulation was ~3 full passes over the N lanes (block-any, block-sum
+    for a lost counter nobody consumed, and a repeat+mask residual
+    reconstruction) — ~14 ms per 5M-lane batch, the entire gap between the
+    bare bucket lookup and the full probe (benchmarks/micro_stash.py).
+    Callers compute blk_need with ONE N-pass and carry residual state at
+    block granularity.
     """
-    N = need.shape[0]
-    NB = N // _BLK
-    blk_need = need.reshape(NB, _BLK).any(axis=1)
+    NB = blk_need.shape[0]
+    N = NB * _BLK
     rank = jnp.cumsum(blk_need.astype(jnp.int32)) - 1
     ok = blk_need & (rank < max_blocks)
-    lost_blocks = blk_need & ~ok
-    lost = jnp.where(
-        lost_blocks, need.reshape(NB, _BLK).sum(axis=1), 0).sum()
-    residual = need & jnp.repeat(lost_blocks, _BLK)
+    residual_blocks = blk_need & ~ok
     pos = jnp.where(ok, rank, max_blocks)
     cb = jnp.full(max_blocks + 1, NB, jnp.int32).at[pos].set(
         jnp.arange(NB, dtype=jnp.int32), mode="drop")
     lane_idx = (cb[:max_blocks, None] * _BLK
                 + jnp.arange(_BLK, dtype=jnp.int32)[None, :]).reshape(-1)
-    lane_idx = jnp.minimum(lane_idx, N)  # filler blocks point at the pad lane
-    return lane_idx, lost.astype(jnp.int32), residual
+    lane_idx = jnp.minimum(lane_idx, N)  # filler blocks point past the end
+    return lane_idx, residual_blocks
 
 
 def _pad_to_block(x, fill):
@@ -193,41 +210,37 @@ def _lookup_flat(hi_f, lo_f, valid_f, table, main_slots: int, stash,
     aux = jnp.where(hit, aux, 0)
 
     need0 = _pad_to_block(valid_f & ~found & full, False)
+    Np = need0.shape[0]
     # Cap sized ~5x above the expected full-bucket rate (~2e-4 at load 0.5
     # with 32-slot buckets => ~N*2e-4 needy lanes, worst case one per
     # block). The compacted gather+scatter cost is the STATIC cap size, so
     # an oversized cap dominates the probe stage. Coverage is NOT capped:
     # one compacted round runs unconditionally, and residual needy blocks
     # (essentially never at the 5x margin; possible for tiny adversarial
-    # tables) are drained by a while_loop over further capped rounds —
-    # measured ~15 ms cheaper per batch than the previous
-    # lax.cond(full-width fallback), which forced the N-lane result
-    # buffers through a conditional boundary.
-    max_blocks = max(need0.shape[0] // _BLK // 64, 16)
-
-    hi_ext = jnp.concatenate([hi_f, jnp.zeros(1, jnp.int32)])
-    lo_ext = jnp.concatenate([lo_f, jnp.zeros(1, jnp.int32)])
+    # tables) are drained by a while_loop over further capped rounds. The
+    # common path touches the N lanes exactly once (the per-block any);
+    # residual state is block-granular (see block_compact).
+    max_blocks = max(Np // _BLK // 64, 16)
+    blk_need0 = need0.reshape(Np // _BLK, _BLK).any(axis=1)
 
     def stash_round(state):
-        ec, aux, need = state
-        lane_idx, _, residual = block_compact(need, max_blocks)
-        li = jnp.minimum(lane_idx, N)
-        c_hi = hi_ext[lane_idx]
-        c_lo = lo_ext[lane_idx]
-        c_need = jnp.concatenate([need[:N], jnp.zeros(1, bool)])[li]
+        ec, aux, blk_need = state
+        lane_idx, residual_blocks = block_compact(blk_need, max_blocks)
+        li = jnp.minimum(lane_idx, N - 1)
+        c_hi = hi_f[li]
+        c_lo = lo_f[li]
+        c_need = need0[jnp.minimum(lane_idx, Np - 1)] & (lane_idx < N)
         ec2, aux2, found2, _ = bucket_lookup(
             c_hi, c_lo, stash, stash_slots, bucket, hash_kmer_stash)
         write = c_need & found2
-        dst = jnp.where(write, lane_idx, N)
-        ec_ext = jnp.concatenate([ec, jnp.zeros(1, jnp.int32)])
-        aux_ext = jnp.concatenate([aux, jnp.zeros(1, jnp.int32)])
-        ec_ext = ec_ext.at[dst].set(jnp.where(write, ec2, 0), mode="drop")
-        aux_ext = aux_ext.at[dst].set(jnp.where(write, aux2, 0), mode="drop")
-        return ec_ext[:N], aux_ext[:N], residual
+        dst = jnp.where(write, lane_idx, N)  # N is out of bounds -> dropped
+        ec = ec.at[dst].set(jnp.where(write, ec2, 0), mode="drop")
+        aux = aux.at[dst].set(jnp.where(write, aux2, 0), mode="drop")
+        return ec, aux, residual_blocks
 
-    ec, aux, residual = stash_round((ec, aux, need0))
+    ec, aux, residual_blocks = stash_round((ec, aux, blk_need0))
     ec, aux, _ = jax.lax.while_loop(
-        lambda s: s[2].any(), stash_round, (ec, aux, residual))
+        lambda s: s[2].any(), stash_round, (ec, aux, residual_blocks))
     return ec, aux
 
 
@@ -307,30 +320,31 @@ def lookup_ecs_strided(
 
     N = B * P
     need_f = _pad_to_block(need.reshape(-1), False)
-    max_blocks = max(need_f.shape[0] // _BLK // 2, 16)
+    Np = need_f.shape[0]
+    max_blocks = max(Np // _BLK // 2, 16)
+    blk_need0 = need_f.reshape(Np // _BLK, _BLK).any(axis=1)
 
     ec0 = jnp.where(is_sample, ec_sampled, fill)
-    hi_ext = jnp.concatenate([hi.reshape(-1), jnp.zeros(1, jnp.int32)])
-    lo_ext = jnp.concatenate([lo.reshape(-1), jnp.zeros(1, jnp.int32)])
+    hi_f = hi.reshape(-1)
+    lo_f = lo.reshape(-1)
 
     # one compacted dense-verification round always runs; residual needy
     # blocks beyond the cap (very high error rate / tiny run lengths)
-    # drain through further capped rounds — exact coverage, no
-    # N-lane-buffer lax.cond (see _lookup_flat)
+    # drain through further capped rounds — exact coverage, block-granular
+    # residual state (see _lookup_flat / block_compact)
     def gap_round(state):
-        ec_flat, needr = state
-        lane_idx, _, residual = block_compact(needr, max_blocks)
-        li = jnp.minimum(lane_idx, N)
-        c_hi, c_lo = hi_ext[li], lo_ext[li]
-        c_need = jnp.concatenate([needr[:N], jnp.zeros(1, bool)])[li]
+        ec_flat, blk_need = state
+        lane_idx, residual_blocks = block_compact(blk_need, max_blocks)
+        li = jnp.minimum(lane_idx, N - 1)
+        c_hi, c_lo = hi_f[li], lo_f[li]
+        c_need = need_f[jnp.minimum(lane_idx, Np - 1)] & (lane_idx < N)
         ec_d = lookup_ecs(c_hi, c_lo, c_need, table, main_slots, stash,
                           stash_slots, bucket, bucket_lookup=bucket_lookup)
-        ec_ext = jnp.concatenate([ec_flat, jnp.zeros(1, jnp.int32)])
-        dst = jnp.where(c_need, li, N)
-        return ec_ext.at[dst].set(ec_d, mode="drop")[:N], residual
+        dst = jnp.where(c_need, lane_idx, N)  # N out of bounds -> dropped
+        return ec_flat.at[dst].set(ec_d, mode="drop"), residual_blocks
 
-    ec_flat, residual = gap_round((ec0.reshape(-1), need_f))
+    ec_flat, residual_blocks = gap_round((ec0.reshape(-1), blk_need0))
     ec_flat, _ = jax.lax.while_loop(
-        lambda s: s[1].any(), gap_round, (ec_flat, residual))
+        lambda s: s[1].any(), gap_round, (ec_flat, residual_blocks))
     ec = ec_flat.reshape(B, P)
     return jnp.where(valid, ec, MISS)
