@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EMConfig
-from .em import ECTable, effective_lengths, em_step, run_blocked_fixed_point
+from .em import ECTable, effective_lengths, run_blocked_fixed_point
 
 
 def resample_counts(key, counts, num_samples: int):
@@ -44,30 +44,37 @@ def bootstrap_core(counts, ec_ids, txp_ids, lengths, key, n_replicates: int,
 
 def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
                num_ecs: int, num_transcripts: int, cfg: EMConfig):
-    """Batched CSR EM over pre-resampled count rows [B, E].
+    """Batched CSR EM over pre-resampled count rows [B, E], replicate-major.
 
-    The replicate axis is FLATTENED into the segment ids (replicate b's
-    entries use EC ids b*E+e and transcript ids b*T+t) rather than vmapped:
-    vmapped segment_sum miscompiled on the TPU backend (alpha collapsed to
-    zero and "converged" vacuously — caught by the oracle-judged TPU diag);
-    flat segment sums are the same primitive the single-run EM uses.
+    The replicate axis lives in the ROW (minor) dimension of every gather
+    and segment-sum — (nnz, B)-shaped operands indexed by nnz lanes — so
+    each EM iteration costs the same LANE count as a single-run iteration.
+    Gather cost on this hardware is per-lane, nearly independent of row
+    width (docs/PERFORMANCE.md), so B replicates ride along almost free;
+    the previous formulation FLATTENED replicates into the segment ids
+    (correct, same primitive as the single-run path, but B*nnz lanes —
+    ~B x the per-iteration cost at GENCODE scale). A still-earlier VMAPPED
+    segment_sum formulation miscompiled on the TPU backend (alpha collapsed
+    to zero; docs/PERFORMANCE.md 'Hardware-only bugs') — this one uses
+    plain 2-D segment_sum, no vmap, and is oracle-validated per replicate.
     """
     eff = effective_lengths(lengths, cfg, dtype)
     B, T = cmat.shape[0], num_transcripts
-    nnz = ec_ids.shape[0]
-    boff = jnp.arange(B, dtype=jnp.int32)[:, None]
-    ec_b = (ec_ids[None, :] + boff * num_ecs).reshape(-1)
-    txp_b = (txp_ids[None, :] + boff * T).reshape(-1)
-    counts_flat = cmat.reshape(-1).astype(dtype)
-    eff_b = jnp.tile(eff, B)
-    ec_flat = ECTable(counts_flat, ec_b, txp_b, B * num_ecs, B * T)
+    counts_nnz = cmat.T.astype(dtype)[ec_ids]  # (nnz, B), loop-constant
+    inv_eff_nnz = (1.0 / eff)[txp_ids][:, None]  # (nnz, 1)
 
-    n_per = cmat.sum(axis=1, keepdims=True)
-    alpha0 = jnp.broadcast_to(n_per / T, (B, T)).astype(dtype).reshape(-1)
+    def em_iter(alpha):  # (T, B)
+        w = alpha[txp_ids] * inv_eff_nnz
+        denom = jax.ops.segment_sum(
+            w, ec_ids, num_segments=num_ecs, indices_are_sorted=True)
+        d = denom[ec_ids]
+        r = jnp.where(d > 0, counts_nnz * w / d, 0.0)
+        return jax.ops.segment_sum(r, txp_ids, num_segments=T)
 
-    it, _, alpha = run_blocked_fixed_point(
-        lambda a: em_step(a, ec_flat, eff_b), alpha0, cfg)
-    return alpha.reshape(B, T), it
+    n_per = cmat.sum(axis=1)  # (B,)
+    alpha0 = jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
+    it, _, alpha = run_blocked_fixed_point(em_iter, alpha0, cfg)
+    return alpha.T, it
 
 
 @functools.partial(
