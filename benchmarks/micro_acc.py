@@ -79,12 +79,13 @@ def main():
         return table._replace(overflow=table.overflow + fp1.sum() + fp2.sum())
 
     def variant_C(table, sig, mapped):
-        S = table.key.shape[0] - 1
+        NBK = table.key.shape[0] - 1
         fp1, fp2 = fingerprint(sig)
         home = (sig_slot_hash(fp1.astype(jnp.uint32), fp2.astype(jnp.uint32))
-                & jnp.uint32(S - 1)).astype(jnp.int32)
-        rows = table.key[home]
-        match = (rows[:, 0] == fp1) & (rows[:, 1] == fp2)
+                & jnp.uint32(NBK - 1)).astype(jnp.int32)
+        rows = table.key[home]  # (B, KB, 2) bucket row
+        match = ((rows[:, :, 0] == fp1[:, None])
+                 & (rows[:, :, 1] == fp2[:, None])).any(axis=1)
         return table._replace(overflow=table.overflow + match.sum())
 
     def bench(name, fn, probe=32):

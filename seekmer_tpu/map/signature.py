@@ -38,20 +38,32 @@ from ..ops.hash import (
 SIG_PAD = jnp.int32(0x7FFFFFFF)
 
 
-class SigTable(NamedTuple):
-    """Device signature->count open-addressing table (+1 dump row at the end
-    that absorbs scatters from inactive lanes)."""
+# Slots per key bucket: one probe round gathers a whole 8-slot (64B) key
+# bucket, so chains that previously took up to 8 while_loop rounds resolve
+# in one — the steady-state accumulate cost is round-dominated, ~1 ms per
+# round (benchmarks/micro_acc.py).
+KB = 8
 
-    key: jnp.ndarray  # int32[S+1, 2] fingerprint rows; (0, 0) = empty
+
+class SigTable(NamedTuple):
+    """Device signature->count open-addressing table. Keys live in
+    bucketized (KB-slot) rows so a probe round is ONE 64B-row gather;
+    count/sig stay flat, indexed by slot = bucket*KB + lane. Each table
+    has a trailing dump bucket/row absorbing scatters from inactive
+    lanes."""
+
+    key: jnp.ndarray  # int32[S/KB + 1, KB, 2] fingerprints; (0, 0) = empty
     count: jnp.ndarray  # int32[S+1]
     sig: jnp.ndarray  # int32[S+1, C] claimed signature rows
     overflow: jnp.ndarray  # int32[] reads lost to probe overflow
 
 
 def make_sig_table(bits: int, max_ecs: int) -> SigTable:
+    if bits < 3:
+        raise ValueError("sig_table_bits must be >= 3 (one KB=8 bucket)")
     S = 1 << bits
     return SigTable(
-        key=jnp.zeros((S + 1, 2), jnp.int32),
+        key=jnp.zeros((S // KB + 1, KB, 2), jnp.int32),
         count=jnp.zeros(S + 1, jnp.int32),
         sig=jnp.full((S + 1, max_ecs), SIG_PAD),
         overflow=jnp.zeros((), jnp.int32),
@@ -112,16 +124,17 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
     at the jit boundary for in-place updates.
     """
     B, C = sig.shape
-    S = table.key.shape[0] - 1  # last row is the dump slot
+    S = table.count.shape[0] - 1  # flat slots; last row is the dump slot
+    NBK = table.key.shape[0] - 1  # key buckets; last bucket is the dump
     dump = jnp.int32(S)
-    mask = jnp.uint32(S - 1)
+    dump_b = jnp.int32(NBK)
 
     fp1, fp2 = fingerprint(sig)
     w = jnp.where(mapped, jnp.ones(B, jnp.int32) if weights is None else weights, 0)
     active0 = w > 0
 
     home = (sig_slot_hash(fp1.astype(jnp.uint32), fp2.astype(jnp.uint32))
-            & mask).astype(jnp.int32)
+            & jnp.uint32(NBK - 1)).astype(jnp.int32)
     keyrow = jnp.stack([fp1, fp2], axis=1)
 
     # The while loop carries ONLY the key table (the CAS target) plus
@@ -130,25 +143,33 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
     # claim) and one scatter-add / one sig-row scatter run after the loop.
     # Dragging the (S, C) signature table through the loop state measured
     # ~45 ms/batch at sig_table_bits=22 (buffer copies per probe round).
+    # A probe round examines a whole KB-slot key bucket in one 64B-row
+    # gather; the cursor advances to the next bucket only when the bucket
+    # is FULL and unmatched (a claim loser retries the same bucket — it
+    # may still hold empties, or now hold its own fingerprint).
     def cond(state):
         r, active, *_ = state
         return (r < sig_probe) & jnp.any(active)
 
     def body(state):
-        r, active, key, res_slot, won_any = state
-        slot = (home + r) & jnp.int32(S - 1)
-        rows = key[slot]
-        match = active & (rows[:, 0] == fp1) & (rows[:, 1] == fp2)
-        is_empty = (rows[:, 0] == 0) & (rows[:, 1] == 0)
-        try_claim = active & ~match & is_empty
+        r, active, key, cursor, res_slot, won_any = state
+        rows = key[cursor]  # (B, KB, 2)
+        match = (rows[:, :, 0] == fp1[:, None]) & (rows[:, :, 1] == fp2[:, None])
+        is_empty = (rows[:, :, 0] == 0) & (rows[:, :, 1] == 0)
+        matched = active & match.any(axis=1)
+        slot_in = jnp.argmax(match, axis=1).astype(jnp.int32)
+        has_empty = is_empty.any(axis=1)
+        first_empty = jnp.argmax(is_empty, axis=1).astype(jnp.int32)
+        try_claim = active & ~matched & has_empty
 
         def do_claim(key):
-            # claim via scatter, re-gather to see who won (whole-row
-            # atomic under XLA's duplicate-update semantics)
-            claim_slot = jnp.where(try_claim, slot, dump)
-            key = key.at[claim_slot].set(keyrow)
-            rows2 = key[slot]
-            won = try_claim & (rows2[:, 0] == fp1) & (rows2[:, 1] == fp2)
+            # claim the bucket's first empty slot via scatter, re-gather
+            # to see who won (the (2,) row update is atomic under XLA's
+            # one-duplicate-wins scatter semantics)
+            cb = jnp.where(try_claim, cursor, dump_b)
+            key = key.at[cb, first_empty].set(keyrow)
+            row2 = key[cb, first_empty]  # (B, 2)
+            won = try_claim & (row2[:, 0] == fp1) & (row2[:, 1] == fp2)
             return key, won
 
         def no_claim(key):
@@ -158,22 +179,28 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
         # scatter + re-gather
         key, won = jax.lax.cond(try_claim.any(), do_claim, no_claim, key)
 
-        resolved = match | won
-        res_slot = jnp.where(resolved, slot, res_slot)
+        resolved = matched | won
+        res_slot = jnp.where(
+            resolved,
+            cursor * KB + jnp.where(matched, slot_in, first_empty),
+            res_slot)
         won_any = won_any | won
-        return r + 1, active & ~resolved, key, res_slot, won_any
+        advance = active & ~resolved & ~has_empty
+        cursor = jnp.where(advance, (cursor + 1) & jnp.int32(NBK - 1), cursor)
+        return r + 1, active & ~resolved, key, cursor, res_slot, won_any
 
-    r, active, key, res_slot, won_any = jax.lax.while_loop(
+    r, active, key, _, res_slot, won_any = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), active0, table.key, jnp.full(B, dump), active0 & False)
+        (jnp.int32(0), active0, table.key, home, jnp.full(B, dump),
+         active0 & False)
     )
     resolved = active0 & ~active
     add_slot = jnp.where(resolved, res_slot, dump)
     count = table.count.at[add_slot].add(jnp.where(resolved, w, 0))
     sigtab = table.sig.at[jnp.where(won_any, res_slot, dump)].set(sig)
     lost = jnp.where(active, w, 0).sum().astype(jnp.int32)
-    # Scrub any junk scattered into the dump row.
-    key = key.at[dump].set(jnp.zeros(2, jnp.int32))
+    # Scrub any junk scattered into the dump bucket/row.
+    key = key.at[dump_b].set(jnp.zeros((KB, 2), jnp.int32))
     count = count.at[dump].set(0)
     return SigTable(key=key, count=count, sig=sigtab,
                     overflow=table.overflow + lost)

@@ -76,13 +76,13 @@ class DataParallelMapper:
         # chip d owns rows [d*(S+1), (d+1)*(S+1)).
         data = _shard_spec(self.mesh, shard_cfg, shard_cfg.data_axis_name)
         local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        def tile0(x):
+            return jnp.tile(x, (self.n_shards,) + (1,) * (x.ndim - 1))
+
         self.table = SigTable(
-            key=jax.device_put(
-                jnp.tile(local.key, (self.n_shards, 1)), data),
-            count=jax.device_put(
-                jnp.tile(local.count, (self.n_shards,)), data),
-            sig=jax.device_put(
-                jnp.tile(local.sig, (self.n_shards, 1)), data),
+            key=jax.device_put(tile0(local.key), data),
+            count=jax.device_put(tile0(local.count), data),
+            sig=jax.device_put(tile0(local.sig), data),
             overflow=jax.device_put(
                 jnp.zeros(self.n_shards, jnp.int32), data),
         )

@@ -240,10 +240,14 @@ class PrefixShardedMapper:
         self.both_axes = both
         dspec = NamedSharding(self.mesh, P(both))
         local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+
+        def tile0(x):
+            return jnp.tile(x, (self.n_dev,) + (1,) * (x.ndim - 1))
+
         self.table = SigTable(
-            key=jax.device_put(jnp.tile(local.key, (self.n_dev, 1)), dspec),
-            count=jax.device_put(jnp.tile(local.count, (self.n_dev,)), dspec),
-            sig=jax.device_put(jnp.tile(local.sig, (self.n_dev, 1)), dspec),
+            key=jax.device_put(tile0(local.key), dspec),
+            count=jax.device_put(tile0(local.count), dspec),
+            sig=jax.device_put(tile0(local.sig), dspec),
             overflow=jax.device_put(jnp.zeros(self.n_dev, jnp.int32), dspec),
         )
         self.total_reads = 0
