@@ -63,6 +63,9 @@ def _add_infer(sub):
     p.add_argument("--probe-stride", type=int, default=1,
                    help="probe every Nth window with run-length coverage "
                         "(1 = bit-exact dense)")
+    p.add_argument("--io-workers", type=int, default=0,
+                   help="concurrent FASTQ decode threads (0 = auto, "
+                        "1 = serial; forced serial with --checkpoint)")
     p.add_argument("--probe-chunks", type=int, default=1,
                    help="probe lanes in N sequential chunks (bounds device "
                         "memory transients for very large batches)")
@@ -146,6 +149,7 @@ def cmd_infer(args) -> int:
             paired_end=bool(args.mates),
             probe_stride=args.probe_stride,
             probe_chunks=args.probe_chunks,
+            io_workers=args.io_workers,
             pack_backend=args.pack_backend,
             probe_backend=args.probe_backend,
             sig_backend=args.sig_backend,

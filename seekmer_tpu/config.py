@@ -99,6 +99,13 @@ class MapConfig:
     # intersection step): "xla" (two jnp row-sorts) or "pallas"
     # (ops/sig_pallas.py fused bitonic kernel).
     sig_backend: str = "xla"
+    # Concurrent FASTQ decode threads (the TPU-era analog of the
+    # reference's --jobs reader pool, SURVEY.md 2.1 C6): 0 = auto
+    # (min(4, n_files)), 1 = serial deterministic order (required for
+    # checkpoint resume; forced automatically when --checkpoint is set),
+    # N = up to N files decoded in parallel. gzip inflate is ~0.4M
+    # reads/s single-threaded — well below the device map rate.
+    io_workers: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,19 +182,76 @@ class _BucketAccumulator:
         self.pending = {}
 
 
+_DONE = object()
+
+
+def _parallel_chunks(make_streams, queue_depth: int = 8):
+    """Run each chunk-iterator in its own thread; yield items as they
+    arrive. Order is preserved WITHIN each stream, arbitrary across
+    streams. gzip inflate and the ctypes packer both release the GIL, so
+    multi-file decode scales to ~number-of-files (SURVEY.md 7.5 item 4:
+    host ingest must keep the chips fed — gzip decode is ~0.4M reads/s
+    single-threaded vs a >1M reads/s device map rate)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+
+    def worker(stream):
+        try:
+            for item in stream:
+                q.put(item)
+            q.put(_DONE)
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+
+    streams = [make() for make in make_streams]
+    threads = [threading.Thread(target=worker, args=(s,), daemon=True)
+               for s in streams]
+    for t in threads:
+        t.start()
+    done = 0
+    while done < len(streams):
+        item = q.get()
+        if item is _DONE:
+            done += 1
+            continue
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _effective_io_workers(cfg: MapConfig, n_streams: int) -> int:
+    w = cfg.io_workers if cfg.io_workers > 0 else 4
+    return min(w, n_streams)
+
+
 def batch_reads_native(
     paths, cfg: MapConfig
 ) -> Iterator[ReadBatch]:
-    """Single-end batching through the C packer (falls back to Python)."""
+    """Single-end batching through the C packer (falls back to Python).
+
+    With multiple input files and cfg.io_workers != 1, files are decoded
+    and packed concurrently (read order interleaves across files; counts
+    are order-independent). Callers needing a deterministic stream order
+    (checkpoint resume) use the serial Python path instead."""
     from ..native.packer import get_lib, stream_packed
 
     if get_lib() is None:
         yield from batch_reads(read_fastq_many(paths), cfg)
         return
     acc = _BucketAccumulator(cfg)
-    for path in paths:
-        for codes, lengths in stream_packed(path, cfg.max_read_len):
+    paths = list(paths)
+    if _effective_io_workers(cfg, len(paths)) > 1:
+        makers = [
+            (lambda p=p: stream_packed(p, cfg.max_read_len)) for p in paths
+        ]
+        for codes, lengths in _parallel_chunks(makers):
             yield from acc.add(codes, lengths)
+    else:
+        for path in paths:
+            for codes, lengths in stream_packed(path, cfg.max_read_len):
+                yield from acc.add(codes, lengths)
     yield from acc.flush()
 
 
@@ -234,10 +291,29 @@ def batch_read_pairs_native(
         for p in paths:
             yield from stream_packed(p, cfg.max_read_len)
 
+    paths1, paths2 = list(paths1), list(paths2)
+    if (len(paths1) == len(paths2)
+            and _effective_io_workers(cfg, len(paths1)) > 1):
+        # one thread per (R1, R2) file pair; requires files to pair
+        # index-by-index (the standard lane layout). Unequal counts within
+        # a pair raise — rerun with io_workers=1 for exotic splits, which
+        # aligns the two CHAINED streams instead.
+        def pair_stream(p1, p2):
+            return _aligned_chunks(stream_packed(p1, cfg.max_read_len),
+                                   stream_packed(p2, cfg.max_read_len))
+
+        makers = [
+            (lambda a=p1, b=p2: pair_stream(a, b))
+            for p1, p2 in zip(paths1, paths2)
+        ]
+        chunk_iter = _parallel_chunks(makers)
+    else:
+        chunk_iter = _aligned_chunks(stream(paths1), stream(paths2))
+
     B = cfg.batch_size
     lb = cfg.length_bucket
     pending: dict[int, list] = {}
-    for c1, l1, c2, l2 in _aligned_chunks(stream(paths1), stream(paths2)):
+    for c1, l1, c2, l2 in chunk_iter:
         buckets = np.minimum(
             (np.maximum(np.maximum(l1, l2), 1) + lb - 1) // lb * lb,
             cfg.max_read_len)

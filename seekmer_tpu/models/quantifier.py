@@ -56,12 +56,18 @@ class Quantifier:
     ) -> QuantResult:
         skip = 0
         mapper = self._make_mapper()
-        if checkpoint_path and isinstance(mapper, Mapper):
-            state = mapper.restore_checkpoint(checkpoint_path)
-            if state:
-                skip = state["reads_consumed"]
-                log.info("resuming from checkpoint: %d reads already mapped",
-                         skip)
+        map_cfg = self.cfg.map
+        if checkpoint_path:
+            # the checkpoint cursor counts reads in stream order, which is
+            # only reproducible under serial (single-worker) ingest
+            if map_cfg.io_workers != 1:
+                map_cfg = dataclasses.replace(map_cfg, io_workers=1)
+            if isinstance(mapper, Mapper):
+                state = mapper.restore_checkpoint(checkpoint_path)
+                if state:
+                    skip = state["reads_consumed"]
+                    log.info("resuming from checkpoint: %d reads already "
+                             "mapped", skip)
 
         if mate_paths:
             if skip:
@@ -71,12 +77,12 @@ class Quantifier:
                     read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
                 )
                 pairs = itertools.islice(pairs, skip, None)
-                batches = batch_read_pairs(pairs, self.cfg.map)
+                batches = batch_read_pairs(pairs, map_cfg)
             else:
                 from ..io.fastq import batch_read_pairs_native
 
                 batches = batch_read_pairs_native(
-                    fastq_paths, mate_paths, self.cfg.map)
+                    fastq_paths, mate_paths, map_cfg)
         else:
             from ..io.fastq import batch_reads_native
 
@@ -85,9 +91,9 @@ class Quantifier:
 
                 reads = itertools.islice(
                     read_fastq_many(fastq_paths), skip, None)
-                batches = batch_reads(reads, self.cfg.map)
+                batches = batch_reads(reads, map_cfg)
             else:
-                batches = batch_reads_native(fastq_paths, self.cfg.map)
+                batches = batch_reads_native(fastq_paths, map_cfg)
         return self.quantify_batches(batches, mapper=mapper,
                                      checkpoint_path=checkpoint_path,
                                      checkpoint_every=checkpoint_every)

@@ -7,13 +7,26 @@
  * T=3, other=4) directly into the caller's pinned batch buffer, one memcpy
  * away from device_put (SURVEY.md 7.5 item 4).
  *
- * Build: cc -O3 -shared -fPIC packer.c -o libseekmer_packer.so
+ * Two entry points:
+ *   seekmer_pack_fastq  — parse a caller-provided text buffer (chunk API);
+ *   seekmer_open/next/close — a full streaming reader: file I/O + gzip
+ *     inflate (zlib gzFile, which transparently reads plain files too) +
+ *     parse + pack in ONE call, so a ctypes invocation releases the GIL
+ *     for the whole decode. This is what lets io_workers threads scale:
+ *     Python-side gzip.read loops hold the GIL for their glue and cap
+ *     multi-file decode at ~1.3x (measured); the C reader does ~a whole
+ *     chunk per GIL acquisition.
+ *
+ * Build: cc -O3 -shared -fPIC packer.c -lz -o libseekmer_packer.so
  * (driven by seekmer_tpu/native/packer.py at import time; no pybind11 —
  * plain C ABI + ctypes).
  */
 
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
 
 static uint8_t LUT[256];
 
@@ -68,4 +81,74 @@ long seekmer_pack_fastq(const uint8_t *buf, long len, uint8_t *codes,
     *consumed = i;
   }
   return n;
+}
+
+/* ---- streaming reader: gzFile -> packed code rows ---------------------- */
+
+typedef struct {
+  gzFile gz;
+  uint8_t *buf;
+  long cap, len;
+  int eof;
+} seekmer_reader;
+
+void *seekmer_open(const char *path) {
+  seekmer_reader *r = (seekmer_reader *)calloc(1, sizeof(seekmer_reader));
+  if (!r) return NULL;
+  r->gz = gzopen(path, "rb");
+  if (!r->gz) { free(r); return NULL; }
+  gzbuffer(r->gz, 1 << 20);
+  r->cap = 4l << 20;
+  r->buf = (uint8_t *)malloc(r->cap);
+  if (!r->buf) { gzclose(r->gz); free(r); return NULL; }
+  return r;
+}
+
+/* Fill up to max_reads code rows. Returns reads produced (0 = clean EOF),
+ * -1 malformed input, -2 I/O error. One call does file read + inflate +
+ * parse + pack — the caller's ctypes invocation releases the GIL for all
+ * of it. */
+long seekmer_next(void *h, uint8_t *codes, int32_t *lengths, long max_reads,
+                  long max_len) {
+  seekmer_reader *r = (seekmer_reader *)h;
+  for (;;) {
+    if (r->len > 0) {
+      long consumed = 0;
+      long n = seekmer_pack_fastq(r->buf, r->len, codes, lengths, max_reads,
+                                  max_len, &consumed);
+      if (n < 0) return -1;
+      if (n > 0) {
+        memmove(r->buf, r->buf + consumed, r->len - consumed);
+        r->len -= consumed;
+        return n;
+      }
+    }
+    if (r->eof) {
+      /* no complete record left: only whitespace may remain */
+      for (long j = 0; j < r->len; j++)
+        if (r->buf[j] != '\n' && r->buf[j] != '\r' && r->buf[j] != ' ' &&
+            r->buf[j] != '\t')
+          return -1;
+      return 0;
+    }
+    if (r->len == r->cap) { /* single record larger than the buffer */
+      long nc = r->cap * 2;
+      uint8_t *nb = (uint8_t *)realloc(r->buf, nc);
+      if (!nb) return -2;
+      r->buf = nb;
+      r->cap = nc;
+    }
+    int got = gzread(r->gz, r->buf + r->len, (unsigned)(r->cap - r->len));
+    if (got < 0) return -2;
+    if (got == 0) r->eof = 1;
+    r->len += got;
+  }
+}
+
+void seekmer_close(void *h) {
+  seekmer_reader *r = (seekmer_reader *)h;
+  if (!r) return;
+  if (r->gz) gzclose(r->gz);
+  free(r->buf);
+  free(r);
 }

@@ -32,7 +32,7 @@ def _build() -> Optional[str]:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                [cc, "-O3", "-shared", "-fPIC", _SRC, "-lz", "-o", _SO],
                 check=True, capture_output=True, timeout=60,
             )
             return _SO
@@ -60,6 +60,16 @@ def get_lib():
         ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.seekmer_open.restype = ctypes.c_void_p
+    lib.seekmer_open.argtypes = [ctypes.c_char_p]
+    lib.seekmer_next.restype = ctypes.c_long
+    lib.seekmer_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long, ctypes.c_long,
+    ]
+    lib.seekmer_close.restype = None
+    lib.seekmer_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -86,29 +96,35 @@ def pack_chunk(buf: bytes, max_reads: int, max_len: int):
     return codes[:n], lengths[:n], consumed.value
 
 
-def stream_packed(path: str, max_len: int, chunk_bytes: int = 4 << 20
+def stream_packed(path: str, max_len: int, chunk_reads: int = 16384
                   ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Stream a FASTQ(.gz) file as (codes[n, max_len], lengths[n]) chunks
-    using the native parser."""
-    import gzip
+    """Stream a FASTQ(.gz) file as (codes[n, max_len], lengths[n]) chunks.
 
-    op = gzip.open if str(path).endswith(".gz") else open
-    leftover = b""
-    # generous upper bound: a record is >= 8 bytes
-    with op(path, "rb") as fh:
+    Uses the C streaming reader: file read + gzip inflate + parse + pack
+    happen inside ONE ctypes call per chunk, with the GIL released — this
+    is what makes io_workers-threaded multi-file ingest scale (the Python
+    gzip.read loop's per-chunk glue capped 4-thread decode at ~1.3x)."""
+    lib = get_lib()
+    assert lib is not None
+    h = lib.seekmer_open(os.fsencode(path))
+    if not h:
+        raise OSError(f"cannot open FASTQ file: {path}")
+    try:
         while True:
-            chunk = fh.read(chunk_bytes)
-            buf = leftover + chunk
-            if not buf:
+            codes = np.empty((chunk_reads, max_len), dtype=np.uint8)
+            lengths = np.empty(chunk_reads, dtype=np.int32)
+            n = lib.seekmer_next(
+                h,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                chunk_reads, max_len,
+            )
+            if n == 0:
                 return
-            max_reads = max(len(buf) // 8, 1)
-            codes, lengths, consumed = pack_chunk(buf, max_reads, max_len)
-            if not chunk and consumed == 0:
-                if buf.strip():
-                    raise ValueError("truncated FASTQ record at end of file")
-                return
-            leftover = buf[consumed:]
-            if codes.shape[0]:
-                yield codes, lengths
-            if not chunk and not leftover.strip():
-                return
+            if n == -1:
+                raise ValueError(f"malformed FASTQ input in {path}")
+            if n < 0:
+                raise OSError(f"I/O error reading {path}")
+            yield codes[:n], lengths[:n]
+    finally:
+        lib.seekmer_close(h)

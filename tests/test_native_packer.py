@@ -60,7 +60,7 @@ def test_pack_chunk_malformed():
 def test_stream_matches_python(tmp_path, reads, gz):
     p = _mk_fastq(tmp_path, reads, gz=gz)
     got_lens, got_first = [], []
-    for codes, lengths in stream_packed(p, max_len=512, chunk_bytes=997):
+    for codes, lengths in stream_packed(p, max_len=512, chunk_reads=7):
         got_lens.extend(lengths.tolist())
         got_first.extend(codes[:, 0].tolist())
     assert got_lens == [len(r) for r in reads]
@@ -116,3 +116,47 @@ def test_batches_native_equals_python(tmp_path, reads):
         return sorted(rows)
 
     assert flatten(a) == flatten(b)
+
+
+def _flatten_rows(batches, paired=False):
+    rows = []
+    for batch in batches:
+        for i in range(batch.codes.shape[0]):
+            if batch.weights[i]:
+                r = tuple(batch.codes[i, : batch.lengths[i]].tolist())
+                if paired:
+                    r = (r, tuple(
+                        batch.codes2[i, : batch.lengths2[i]].tolist()))
+                rows.append(r)
+    return sorted(rows)
+
+
+def test_parallel_ingest_equals_serial(tmp_path, reads):
+    """Multi-file threaded decode yields the same multiset of reads."""
+    paths = []
+    for i in range(3):
+        part = reads[i::3]
+        paths.append(_mk_fastq(tmp_path, part, gz=True, name=f"p{i}.fq"))
+    serial = MapConfig(batch_size=64, io_workers=1)
+    par = MapConfig(batch_size=64, io_workers=3)
+    a = _flatten_rows(batch_reads_native(paths, serial))
+    b = _flatten_rows(batch_reads_native(paths, par))
+    assert a == b
+
+
+def test_parallel_paired_ingest_equals_serial(tmp_path, reads):
+    from seekmer_tpu.io.fastq import batch_read_pairs_native
+
+    n = len(reads) // 2
+    r1, r2 = reads[:n], reads[n:2 * n]
+    paths1, paths2 = [], []
+    for i in range(2):
+        paths1.append(_mk_fastq(tmp_path, r1[i::2], gz=True, name=f"a{i}.fq"))
+        paths2.append(_mk_fastq(tmp_path, r2[i::2], gz=True, name=f"b{i}.fq"))
+    serial = MapConfig(batch_size=64, io_workers=1, paired_end=True)
+    par = MapConfig(batch_size=64, io_workers=2, paired_end=True)
+    a = _flatten_rows(batch_read_pairs_native(paths1, paths2, serial),
+                      paired=True)
+    b = _flatten_rows(batch_read_pairs_native(paths1, paths2, par),
+                      paired=True)
+    assert a == b
