@@ -142,22 +142,30 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                                   bucket_lookup=bucket_lookup)
 
     hi, lo, valid = pack(codes, lengths, di.k)
-    ecs = lk(hi, lo, valid)
     if codes2 is not None:
+        # both mates go through ONE lookup call (windows concatenated
+        # along the position axis) so the stash round + residual loop
+        # machinery is paid once per batch, not once per mate
         hi2, lo2, valid2 = pack(codes2, lengths2, di.k)
-        ecs2 = lk(hi2, lo2, valid2)
+        P1 = hi.shape[1]
+        hi = jnp.concatenate([hi, hi2], axis=1)
+        lo = jnp.concatenate([lo, lo2], axis=1)
+        valid = jnp.concatenate([valid, valid2], axis=1)
+        ecs = lk(hi, lo, valid)
         if cfg.fusion_pairs:
             # fusion mode: keep per-mate signatures side by side so
             # discordant pairs stay resolvable (fusion.py, SURVEY C12)
-            sig1, mapped1 = sig_fn(ecs, valid, cfg.max_ecs_per_read)
-            sig2, mapped2 = sig_fn(ecs2, valid2, cfg.max_ecs_per_read)
+            sig1, mapped1 = sig_fn(ecs[:, :P1], valid[:, :P1],
+                                   cfg.max_ecs_per_read)
+            sig2, mapped2 = sig_fn(ecs[:, P1:], valid[:, P1:],
+                                   cfg.max_ecs_per_read)
             sig = jnp.concatenate([sig1, sig2], axis=1)
             mapped = mapped1 & mapped2
             return accumulate(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
-        ecs = jnp.concatenate([ecs, ecs2], axis=1)
-        valid = jnp.concatenate([valid, valid2], axis=1)
+    else:
+        ecs = lk(hi, lo, valid)
     sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)
     return accumulate(table, sig, mapped, weights=weights,
                       sig_probe=cfg.sig_probe)
