@@ -44,6 +44,9 @@ def _add_infer(sub):
                         "expectation")
     p.add_argument("--em-tolerance", type=float, default=1e-4)
     p.add_argument("--em-max-iters", type=int, default=1000)
+    p.add_argument("--em-accel", choices=("none", "squarem"), default="none",
+                   help="fixed-point acceleration (SQUAREM: same fixed "
+                        "points, typically 3-10x fewer EM steps)")
     p.add_argument("--bootstrap", type=int, default=0,
                    help="number of bootstrap replicates")
     p.add_argument("--seed", type=int, default=0)
@@ -159,6 +162,7 @@ def cmd_infer(args) -> int:
             fragment_length_sd=args.fragment_sd,
             rel_tol=args.em_tolerance,
             max_iters=args.em_max_iters,
+            accel=args.em_accel,
             bootstrap_samples=args.bootstrap,
             bootstrap_seed=args.seed,
             use_x64=args.x64,

@@ -141,6 +141,13 @@ class EMConfig:
     # 100 [BASELINE.json:11]).
     bootstrap_samples: int = 0
     bootstrap_seed: int = 0
+    # Fixed-point acceleration: "none" = plain EM; "squarem" = SQUAREM S3
+    # cycles (3 EM steps each: secant extrapolation + stabilizing step) —
+    # same fixed points, typically 3-10x fewer EM steps to converge.
+    # Applies to the CSR paths (single-run and batched bootstrap);
+    # iteration counts stay in EM-step units. The Pallas dense kernel and
+    # the collective (psum) EM run plain EM regardless.
+    accel: str = "none"  # "none" | "squarem"
     # EM backend. "auto" = the flat-CSR segment-sum while_loop: with the
     # convergence check hoisted to counted blocks (check_every) it measures
     # ~100x the dense Pallas kernel at every scale, because nnz << E*T

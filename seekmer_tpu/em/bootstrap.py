@@ -17,7 +17,16 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EMConfig
-from .em import ECTable, effective_lengths, run_blocked_fixed_point
+from .em import (
+    ECTable,
+    _block_body,
+    _chunked_fixed_point,
+    _use_chunked,
+    accel_schedule,
+    effective_lengths,
+    run_blocked_fixed_point,
+    squarem_cycle,
+)
 
 
 def resample_counts(key, counts, num_samples: int):
@@ -73,8 +82,63 @@ def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
 
     n_per = cmat.sum(axis=1)  # (B,)
     alpha0 = jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
+    if cfg.accel == "squarem":
+        it, _, alpha = run_blocked_fixed_point(
+            lambda a: squarem_cycle(em_iter, a), alpha0, accel_schedule(cfg))
+        return alpha.T, it * 3
     it, _, alpha = run_blocked_fixed_point(em_iter, alpha0, cfg)
     return alpha.T, it
+
+
+def _batched_iter(counts_nnz, inv_eff_nnz, ec_ids, txp_ids,
+                  num_ecs: int, num_transcripts: int):
+    def em_iter(alpha):  # (T, B)
+        w = alpha[txp_ids] * inv_eff_nnz
+        denom = jax.ops.segment_sum(
+            w, ec_ids, num_segments=num_ecs, indices_are_sorted=True)
+        d = denom[ec_ids]
+        r = jnp.where(d > 0, counts_nnz * w / d, 0.0)
+        return jax.ops.segment_sum(r, txp_ids, num_segments=num_transcripts)
+    return em_iter
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg"),
+    donate_argnums=(6,),
+)
+def _batched_block_jit(counts_nnz, inv_eff_nnz, ec_ids, txp_ids, it, conv,
+                       alpha, num_ecs, num_transcripts, cfg):
+    base = _batched_iter(counts_nnz, inv_eff_nnz, ec_ids, txp_ids,
+                         num_ecs, num_transcripts)
+    em_iter = ((lambda a: squarem_cycle(base, a))
+               if cfg.accel == "squarem" else base)
+    return _block_body(em_iter, cfg)((it, conv, alpha))
+
+
+def _batched_em_chunked(cmat, ec_ids, txp_ids, lengths,
+                        num_ecs: int, num_transcripts: int, cfg: EMConfig):
+    """Chunked host-driven variant of batched_em: same blocked schedule,
+    bounded per-block XLA executions (long single executions crash this
+    platform's TPU worker — em._MAX_EXEC_S)."""
+    cfg_eff, per = ((accel_schedule(cfg), 3) if cfg.accel == "squarem"
+                    else (cfg, 1))
+    dtype = cmat.dtype
+    eff = effective_lengths(jnp.asarray(lengths), cfg, dtype)
+    B, T = cmat.shape[0], num_transcripts
+    counts_nnz = cmat.T.astype(dtype)[ec_ids]
+    inv_eff_nnz = (1.0 / eff)[txp_ids][:, None]
+    n_per = cmat.sum(axis=1)
+    alpha0 = jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
+
+    def block(state):
+        it, conv, alpha = state
+        return _batched_block_jit(counts_nnz, inv_eff_nnz, ec_ids, txp_ids,
+                                  it, conv, alpha, num_ecs=num_ecs,
+                                  num_transcripts=T, cfg=cfg_eff)
+
+    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
+    state, it_v = _chunked_fixed_point(block, state0, cfg_eff)
+    return state[2].T, jnp.int32(it_v * per)
 
 
 @functools.partial(
@@ -115,6 +179,11 @@ def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
             dense_membership(ec), cmat, inv_eff, alpha0, cfg, T,
             interpret=_pallas_interpret(),
         )
+        return alpha
+    if _use_chunked(int(ec.ec_ids.shape[0]), cfg, replicates=B):
+        alpha, _ = _batched_em_chunked(
+            cmat, ec.ec_ids, ec.txp_ids, lengths,
+            ec.num_ecs, ec.num_transcripts, cfg)
         return alpha
     alpha, _ = _batched_em_jit(
         cmat, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),

@@ -112,6 +112,45 @@ def em_step(alpha, ec: ECTable, eff):
     return jax.ops.segment_sum(r, ec.txp_ids, num_segments=ec.num_transcripts)
 
 
+def squarem_cycle(em_iter, alpha, eps=1e-30, step_cap=64.0):
+    """One SQUAREM (S3 / Varadhan & Roland 2008) acceleration cycle of the
+    EM fixed-point map: two EM steps give the secant pair, a steplength
+    ``-max(|r|/|v|, 1)`` extrapolates, and a trailing EM step stabilizes
+    and restores feasibility (our counts-space EM maps any nonnegative
+    vector to one with total mass N, so clamping the extrapolation at 0
+    is the only projection needed). Same fixed points as plain EM; near
+    one, |v| -> 0, the step is capped, and the cycle degenerates to plain
+    EM steps. Works on (T,) single runs and (T, B) replicate-major
+    batches (per-replicate steplengths).
+    """
+    a1 = em_iter(alpha)
+    a2 = em_iter(a1)
+    r = a1 - alpha
+    v = (a2 - a1) - r
+    axes = 0 if alpha.ndim == 2 else None
+    rn = jnp.sqrt(jnp.sum(r * r, axis=axes))
+    vn = jnp.sqrt(jnp.sum(v * v, axis=axes))
+    step = -jnp.clip(rn / jnp.maximum(vn, eps), 1.0, step_cap)
+    ext = alpha - 2.0 * step * r + (step * step) * v
+    ext = jnp.maximum(ext, 0.0)
+    ext = jnp.where(jnp.isfinite(ext), ext, a2)
+    return em_iter(ext)
+
+
+def accel_schedule(cfg: EMConfig) -> EMConfig:
+    """Rescale the blocked-fixed-point budget to SQUAREM cycles (3 EM
+    steps per cycle) so user-facing max_iters/min_iters keep EM-step
+    units."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        max_iters=-(-cfg.max_iters // 3),
+        min_iters=-(-cfg.min_iters // 3),
+        check_every=max(cfg.check_every // 3, 1),
+    )
+
+
 def convergence_check(alpha_m, alpha_new, cfg: EMConfig):
     """max relative change over active transcripts < rel_tol. active.any()
     guards vacuous convergence (a collapsed alpha would otherwise pass the
@@ -154,6 +193,104 @@ def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig):
         cond, body, (jnp.int32(0), jnp.bool_(False), alpha0))
 
 
+def _block_body(em_iter, cfg: EMConfig):
+    """One blocked round (check_every-1 raw + 1 monitored step) as a state
+    transformer; identity once converged — so running extra blocks past
+    convergence leaves (it, converged, alpha) unchanged and the chunked
+    host driver below matches the device while_loop state-for-state."""
+    C = max(cfg.check_every, 1)
+
+    def body(state):
+        it, _, alpha = state
+        alpha_m = jax.lax.fori_loop(0, C - 1, lambda i, a: em_iter(a), alpha)
+        alpha_new = em_iter(alpha_m)
+        converged = (convergence_check(alpha_m, alpha_new, cfg)
+                     & (it + C >= cfg.min_iters))
+        return it + C, converged, alpha_new
+
+    def step(state):
+        return jax.lax.cond(state[1], lambda s: s, body, state)
+
+    return step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg"),
+    donate_argnums=(6,),
+)
+def _em_block_jit(counts, ec_ids, txp_ids, eff, it, conv, alpha,
+                  num_ecs, num_transcripts, cfg):
+    ec = ECTable(counts, ec_ids, txp_ids, num_ecs, num_transcripts)
+    base = lambda a: em_step(a, ec, eff)
+    em_iter = ((lambda a: squarem_cycle(base, a))
+               if cfg.accel == "squarem" else base)
+    return _block_body(em_iter, cfg)((it, conv, alpha))
+
+
+# Rough per-lane-per-iteration cost used only to DECIDE device-loop vs
+# chunked execution (measured ~11 ms / 262k-nnz iteration on v5e).
+_EST_LANE_S = 4e-8
+# Single XLA executions lasting ~90s reproducibly CRASH this platform's
+# TPU worker ("TPU worker process crashed or restarted"; <= ~23s is safe,
+# measured 2026-08-19). Convergence-checked while_loops are unbounded, so
+# any run that could exceed this budget is chunked into per-block
+# executions driven from the host.
+_MAX_EXEC_S = 15.0
+
+
+def _use_chunked(nnz: int, cfg: EMConfig, replicates: int = 1) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    return nnz * replicates * cfg.max_iters * _EST_LANE_S > _MAX_EXEC_S
+
+
+def _chunked_fixed_point(block_fn, state, cfg_eff: EMConfig,
+                         target_sync_s: float = 2.0):
+    """Drive blocked fixed-point rounds from the host: enqueue k blocks
+    asynchronously (each its own bounded XLA execution), then one scalar
+    readback; adapt k so syncs cost ~target_sync_s of enqueued compute.
+    Semantics identical to lax.while_loop over the same block (post-
+    convergence blocks are identity)."""
+    import time
+
+    C = max(cfg_eff.check_every, 1)
+    k = 1
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state = block_fn(state)
+        it_v = int(state[0])  # sync point
+        conv_v = bool(state[1])
+        dt = time.perf_counter() - t0
+        if conv_v or it_v >= cfg_eff.max_iters:
+            return state, it_v
+        per_block = max(dt / k, 1e-4)
+        remaining = max((cfg_eff.max_iters - it_v) // C, 1)
+        k = max(1, min(int(target_sync_s / per_block), remaining))
+
+
+def _run_em_chunked(ec: ECTable, lengths, cfg: EMConfig, alpha_init=None):
+    cfg_eff, per = ((accel_schedule(cfg), 3) if cfg.accel == "squarem"
+                    else (cfg, 1))
+    dtype = ec.counts.dtype
+    eff = effective_lengths(jnp.asarray(lengths), cfg, dtype)
+    T = ec.num_transcripts
+    N = ec.counts.sum()
+    alpha0 = (jnp.full((T,), N / T, dtype=dtype)
+              if alpha_init is None else jnp.asarray(alpha_init, dtype))
+
+    def block(state):
+        it, conv, alpha = state
+        return _em_block_jit(ec.counts, ec.ec_ids, ec.txp_ids, eff,
+                             it, conv, alpha,
+                             num_ecs=ec.num_ecs, num_transcripts=T,
+                             cfg=cfg_eff)
+
+    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
+    state, it_v = _chunked_fixed_point(block, state0, cfg_eff)
+    return state[2], jnp.int32(it_v * per)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
 )
@@ -167,8 +304,12 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
     alpha0 = (jnp.full((T,), N / T, dtype=dtype)
               if alpha_init is None else alpha_init.astype(dtype))
 
-    it, _, alpha = run_blocked_fixed_point(
-        lambda a: em_step(a, ec, eff), alpha0, cfg)
+    em_iter = lambda a: em_step(a, ec, eff)
+    if cfg.accel == "squarem":
+        it, _, alpha = run_blocked_fixed_point(
+            lambda a: squarem_cycle(em_iter, a), alpha0, accel_schedule(cfg))
+        return alpha, it * 3
+    it, _, alpha = run_blocked_fixed_point(em_iter, alpha0, cfg)
     return alpha, it
 
 
@@ -228,6 +369,8 @@ def run_em(
             inv_eff, alpha0, cfg, T, interpret=_pallas_interpret(),
         )
         return alpha[0], iters
+    if _use_chunked(int(ec.ec_ids.shape[0]), cfg):
+        return _run_em_chunked(ec, lengths, cfg, alpha_init=alpha_init)
     return _run_em_jit(
         ec.counts,
         ec.ec_ids,

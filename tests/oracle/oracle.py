@@ -145,21 +145,41 @@ def run_em(
     # em.run_blocked_fixed_point: check_every-1 raw steps + one monitored
     # step per block; convergence tested between the block's last two
     # iterates; iteration counts are multiples of check_every
-    C = max(cfg.check_every, 1)
+    step_fn, per, C, max_c, min_c = em_iter, 1, max(cfg.check_every, 1), \
+        cfg.max_iters, cfg.min_iters
+    if getattr(cfg, "accel", "none") == "squarem":
+        # float64 mirror of em.squarem_cycle + em.accel_schedule
+        def step_fn(a):
+            a1 = em_iter(a)
+            a2 = em_iter(a1)
+            r = a1 - a
+            v = (a2 - a1) - r
+            rn = np.sqrt((r * r).sum())
+            vn = np.sqrt((v * v).sum())
+            step = -np.clip(rn / max(vn, 1e-30), 1.0, 64.0)
+            ext = np.maximum(a - 2.0 * step * r + (step * step) * v, 0.0)
+            if not np.isfinite(ext).all():
+                ext = a2
+            return em_iter(ext)
+
+        per = 3
+        C = max(cfg.check_every // 3, 1)
+        max_c = -(-cfg.max_iters // 3)
+        min_c = -(-cfg.min_iters // 3)
     it = 0
-    while it < cfg.max_iters:
+    while it < max_c:
         for _ in range(C - 1):
-            alpha = em_iter(alpha)
-        alpha_new = em_iter(alpha)
+            alpha = step_fn(alpha)
+        alpha_new = step_fn(alpha)
         active = alpha_new > cfg.count_floor
         rel = np.abs(alpha_new - alpha) / (alpha_new + cfg.abs_floor)
         converged = (active.any() and rel[active].max() < cfg.rel_tol
-                     and it + C >= cfg.min_iters)
+                     and it + C >= min_c)
         alpha = alpha_new
         it += C
         if converged:
             break
-    return alpha, it
+    return alpha, it * per
 
 
 def tpm_from_alpha(alpha: np.ndarray, lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:

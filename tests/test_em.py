@@ -143,3 +143,115 @@ def test_bootstrap_deterministic_seed(rng):
     b1 = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
     b2 = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_squarem_same_fixed_point(rng):
+    """SQUAREM reaches the plain-EM fixed point in fewer EM steps."""
+    T, E = 40, 90
+    lengths = rng.integers(250, 3000, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 6)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 400, size=E).astype(np.float64)
+    ec = build_ec_table(members, counts, T)
+    plain = EMConfig(rel_tol=1e-7, max_iters=20000, backend="csr")
+    fast = EMConfig(rel_tol=1e-7, max_iters=20000, backend="csr",
+                    accel="squarem")
+    a0, it0 = run_em(ec, lengths, plain)
+    a1, it1 = run_em(ec, lengths, fast)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-3,
+                               atol=5e-3)
+    assert int(it1) < int(it0), (int(it1), int(it0))
+
+
+def test_squarem_matches_oracle(rng):
+    T, E = 25, 60
+    lengths = rng.integers(200, 2000, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 4)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 200, size=E).astype(np.float64)
+    cfg = EMConfig(rel_tol=1e-6, max_iters=5000, backend="csr",
+                   accel="squarem")
+    o_alpha, o_it = oracle.run_em(members, counts, lengths, cfg)
+    ec = build_ec_table(members, counts, T)
+    alpha, it = run_em(ec, lengths, cfg)
+    np.testing.assert_allclose(np.asarray(alpha), o_alpha, rtol=5e-3,
+                               atol=1e-2)
+
+
+def test_squarem_bootstrap_mass(rng):
+    T, E, B = 15, 30, 8
+    lengths = rng.integers(300, 1500, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 4)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 100, size=E).astype(np.float64)
+    ec = build_ec_table(members, counts, T)
+    cfg = EMConfig(bootstrap_samples=B, backend="csr", accel="squarem",
+                   max_iters=200)
+    boot = np.asarray(bs.run_bootstrap(ec, lengths, cfg))
+    assert boot.shape == (B, T)
+    np.testing.assert_allclose(boot.sum(axis=1), counts.sum(), rtol=1e-3)
+
+
+def test_chunked_fixed_point_matches_device_loop(rng):
+    """The host-driven chunked driver (used on TPU to bound single-XLA-
+    execution time) produces the same result and iteration count as the
+    in-device while_loop."""
+    from seekmer_tpu.em.em import _run_em_chunked
+
+    T, E = 30, 60
+    lengths = rng.integers(250, 2500, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 5)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 300, size=E).astype(np.float64)
+    ec = build_ec_table(members, counts, T)
+    for accel in ("none", "squarem"):
+        cfg = EMConfig(rel_tol=1e-6, max_iters=3000, backend="csr",
+                       accel=accel)
+        a_dev, it_dev = run_em(ec, lengths, cfg)
+        a_chk, it_chk = _run_em_chunked(ec, lengths, cfg)
+        np.testing.assert_allclose(np.asarray(a_chk), np.asarray(a_dev),
+                                   rtol=1e-6, atol=1e-6)
+        if accel == "none":
+            assert int(it_chk) == int(it_dev), (int(it_chk), int(it_dev))
+        else:
+            # squarem at the f32 tolerance floor: differently-fused
+            # programs can flip the convergence block by a few rounds
+            blocks = 3 * max(cfg.check_every // 3, 1)
+            assert abs(int(it_chk) - int(it_dev)) <= 4 * blocks
+
+
+def test_chunked_batched_matches_device_loop(rng):
+    from seekmer_tpu.em.bootstrap import _batched_em_chunked, _batched_em_jit
+    import jax.numpy as jnp
+
+    T, E, B = 20, 40, 6
+    lengths = rng.integers(300, 2000, size=T).astype(np.int32)
+    members = [
+        np.sort(rng.choice(T, size=int(rng.integers(1, 4)),
+                           replace=False)).astype(np.int32)
+        for _ in range(E)
+    ]
+    counts = rng.integers(1, 100, size=E).astype(np.float64)
+    ec = build_ec_table(members, counts, T)
+    cmat = jnp.asarray(
+        rng.integers(1, 100, size=(B, ec.num_ecs)).astype(np.float32))
+    cfg = EMConfig(rel_tol=1e-5, max_iters=1000, backend="csr")
+    a_dev, it_dev = _batched_em_jit(cmat, ec.ec_ids, ec.txp_ids,
+                                    jnp.asarray(lengths), ec.num_ecs, T, cfg)
+    a_chk, it_chk = _batched_em_chunked(cmat, ec.ec_ids, ec.txp_ids,
+                                        lengths, ec.num_ecs, T, cfg)
+    np.testing.assert_allclose(np.asarray(a_chk), np.asarray(a_dev),
+                               rtol=1e-5, atol=1e-4)
+    assert int(it_chk) == int(it_dev)
