@@ -17,11 +17,24 @@ def _enable_compilation_cache() -> None:
     import os
 
     try:
+        import hashlib
+
         import jax
 
+        # Key the cache dir by the host's CPU feature set: XLA:CPU AOT
+        # results compiled on a machine with more ISA extensions load on a
+        # lesser host with "could lead to SIGILL" warnings when the cache
+        # directory outlives the machine. (TPU programs recompile too on a
+        # host change — correctness over reuse.)
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = next((l for l in fh if l.startswith("flags")), "")
+            fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+        except OSError:
+            fp = "nohost"
         path = os.environ.get(
             "SEEKMER_JAX_CACHE",
-            os.path.expanduser("~/.cache/seekmer_tpu_jax"),
+            os.path.expanduser(f"~/.cache/seekmer_tpu_jax_{fp}"),
         )
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
