@@ -85,18 +85,31 @@ def collect_kmer_pairs(
 
 
 def group_equivalence_classes(
-    keys: np.ndarray, tids: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    keys: np.ndarray, tids: np.ndarray, return_key_rank: bool = False
+):
     """Group k-mers by identical transcript set.
 
     Returns (unique_keys, key_ec, ec_offsets, ec_transcripts): key_ec[i] is
     the EC id of unique_keys[i]; CSR (ec_offsets, ec_transcripts) holds each
-    EC's sorted transcript ids.
+    EC's sorted transcript ids. With ``return_key_rank`` a fifth element is
+    appended: each INPUT pair's rank into unique_keys — computed by riding
+    the sort already being done, which lets compute_run_lengths skip a
+    searchsorted over every window of the transcriptome (a 123M x
+    log2(27M) binary-search pass that cost 94 s of a 234 s GENCODE-scale
+    build).
     """
+    n_pairs = keys.size
     # Sort pairs by (key, tid) and drop duplicates (k-mer repeated in a
     # transcript must count once).
     order = np.lexsort((tids, keys))
     keys, tids = keys[order], tids[order]
+    key_rank = None
+    if return_key_rank:
+        new_key_all = np.ones(n_pairs, dtype=bool)
+        new_key_all[1:] = keys[1:] != keys[:-1]
+        krank_sorted = np.cumsum(new_key_all, dtype=np.int64) - 1
+        key_rank = np.empty(n_pairs, np.int64)
+        key_rank[order] = krank_sorted
     keep = np.ones(keys.size, dtype=bool)
     keep[1:] = (keys[1:] != keys[:-1]) | (tids[1:] != tids[:-1])
     keys, tids = keys[keep], tids[keep]
@@ -148,7 +161,10 @@ def group_equivalence_classes(
         - ec_offsets[:-1].repeat(ec_lens)
     )
     ec_transcripts = tids[gather].astype(np.int32)
-    return unique_keys, key_ec, ec_offsets.astype(np.int32), ec_transcripts
+    out = (unique_keys, key_ec, ec_offsets.astype(np.int32), ec_transcripts)
+    if return_key_rank:
+        return out + (key_rank,)
+    return out
 
 
 def build_bucket_table(
@@ -195,12 +211,15 @@ def build_bucket_table(
 
 
 def build_tables(
-    unique_keys: np.ndarray, key_ec: np.ndarray, k: int, cfg: IndexConfig
+    unique_keys: np.ndarray, key_ec: np.ndarray, k: int, cfg: IndexConfig,
+    aux: Optional[np.ndarray] = None,
 ) -> dict:
     """Bucketized 2-choice tables: every key lives in its main home bucket
     or (if that bucket is full) its stash home bucket — so a device lookup
     is exactly one bucket gather, plus one compacted stash gather for the
-    rare overflow lanes (ops/probe.py)."""
+    rare overflow lanes (ops/probe.py). ``aux`` (per-key EC run lengths)
+    is written at placement time — a separate fill pass cost a
+    searchsorted over every occupied slot (31 s at GENCODE scale)."""
     hi, lo = split_key(unique_keys, k)
     n = unique_keys.size
     G = cfg.bucket_size
@@ -208,7 +227,7 @@ def build_tables(
         max(int(np.ceil(n / (cfg.load_factor * G))), 2)
     )
     table, overflow = build_bucket_table(hi, lo, key_ec, n_buckets, G,
-                                         hash_kmer)
+                                         hash_kmer, aux=aux)
     n_over = int(overflow.sum())
     log.info(
         "main table: %d keys, %d buckets x %d (load %.2f), %d stashed (%.2g)",
@@ -217,13 +236,14 @@ def build_tables(
     )
 
     s_hi, s_lo, s_val = hi[overflow], lo[overflow], key_ec[overflow]
+    s_aux = None if aux is None else aux[overflow]
     stash_buckets = _next_pow2(
         max(cfg.stash_min_slots // G,
             int(np.ceil(max(n_over, 1) / (cfg.stash_load * G))), 2)
     )
     while True:
         stash, s_over = build_bucket_table(
-            s_hi, s_lo, s_val, stash_buckets, G, hash_kmer_stash
+            s_hi, s_lo, s_val, stash_buckets, G, hash_kmer_stash, aux=s_aux
         )
         if not s_over.any():
             break
@@ -235,17 +255,6 @@ def build_tables(
         stash_slots=stash_buckets * G,
         bucket=G,
     )
-
-
-def _fill_aux(table: np.ndarray, unique_keys: np.ndarray, aux: np.ndarray,
-              k: int) -> None:
-    """Write per-key aux values (EC run lengths) into occupied table rows."""
-    from ..encoding import join_key
-
-    occ = table[:, 0] != EMPTY
-    keys = join_key(table[occ, 0], table[occ, 1], k)
-    ki = np.searchsorted(unique_keys, keys)
-    table[occ, 3] = aux[ki]
 
 
 def build_index(
@@ -266,7 +275,7 @@ def build_index(
 
 def compute_run_lengths(
     seqs: list[str], unique_keys: np.ndarray, key_ec: np.ndarray, k: int,
-    cap: int = 127, kmer_stream=None,
+    cap: int = 127, kmer_stream=None, position_ranks=None,
 ) -> np.ndarray:
     """Per-k-mer EC-run guarantee ``d``: for every occurrence of the k-mer,
     in every transcript and either direction, the ``d`` adjacent windows
@@ -281,16 +290,34 @@ def compute_run_lengths(
     # one pass over the separator-joined transcriptome: separator windows
     # are invalid (ec = -1) and break runs exactly at transcript borders.
     # ``kmer_stream`` (keys, valid) lets the caller reuse the pass already
-    # done by collect_kmer_pairs.
-    if kmer_stream is not None:
-        keys, valid = kmer_stream
+    # done by collect_kmer_pairs; ``position_ranks`` (pos, krank) — the
+    # valid window positions and their unique-key ranks from
+    # group_equivalence_classes(return_key_rank=True) — replaces the
+    # per-window searchsorted (94 s of a 234 s GENCODE build) with two
+    # O(P) gathers.
+    if position_ranks is not None:
+        pos, krank = position_ranks
+        if kmer_stream is not None:
+            P = kmer_stream[1].size
+        else:
+            codes, _ = _concat_codes(list(seqs))
+            P = codes.size - k + 1
+        ec = np.full(P, -1, dtype=np.int64)
+        ec[pos] = key_ec[krank]
+        ki_valid = krank
+        valid_idx = pos
     else:
-        codes, _ = _concat_codes(list(seqs))
-        keys, valid = canonical_kmers(codes, k)
-    ki = np.searchsorted(unique_keys, keys)
-    ki = np.minimum(ki, max(unique_keys.size - 1, 0))
-    present = valid & (unique_keys[ki] == keys)
-    ec = np.where(present, key_ec[ki], -1)
+        if kmer_stream is not None:
+            keys, valid = kmer_stream
+        else:
+            codes, _ = _concat_codes(list(seqs))
+            keys, valid = canonical_kmers(codes, k)
+        ki = np.searchsorted(unique_keys, keys)
+        ki = np.minimum(ki, max(unique_keys.size - 1, 0))
+        present = valid & (unique_keys[ki] == keys)
+        ec = np.where(present, key_ec[ki], -1)
+        ki_valid = ki[present]
+        valid_idx = np.flatnonzero(present)
     P = ec.size
     change = np.ones(P, dtype=bool)
     change[1:] = ec[1:] != ec[:-1]
@@ -304,7 +331,7 @@ def compute_run_lengths(
     # per-key min via ONE value sort of (key_index << 7 | d): the first
     # entry of each key group carries its minimum d (d <= cap < 128).
     # An argsort-based reduceat costs ~6x more at GENCODE scale.
-    m = (ki[present].astype(np.int64) << 7) | d[present]
+    m = (ki_valid.astype(np.int64) << 7) | d[valid_idx]
     m.sort()
     kk = m >> 7
     first = np.ones(kk.size, dtype=bool)
@@ -340,18 +367,18 @@ def build_index_from_seqs(
         all_valid = np.empty(0, bool)
         keys = np.empty(0, np.uint64)
         tids = np.empty(0, np.int32)
+        pos = np.empty(0, np.int64)
     log.info("collected %d k-mer pairs from %d transcripts", keys.size, len(names))
-    unique_keys, key_ec, ec_offsets, ec_transcripts = group_equivalence_classes(
-        keys, tids
-    )
+    unique_keys, key_ec, ec_offsets, ec_transcripts, krank = (
+        group_equivalence_classes(keys, tids, return_key_rank=True))
     log.info("%d distinct %d-mers in %d equivalence classes",
              unique_keys.size, cfg.k, ec_offsets.size - 1)
-    tables = build_tables(unique_keys, key_ec, cfg.k, cfg)
+    aux = None
     if cfg.run_length_aux:
-        d_min = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k,
-                                    kmer_stream=(all_keys, all_valid))
-        _fill_aux(tables["table"], unique_keys, d_min, cfg.k)
-        _fill_aux(tables["stash"], unique_keys, d_min, cfg.k)
+        aux = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k,
+                                  kmer_stream=(all_keys, all_valid),
+                                  position_ranks=(pos, krank))
+    tables = build_tables(unique_keys, key_ec, cfg.k, cfg, aux=aux)
 
     if genes is not None:
         genes = np.array(genes)

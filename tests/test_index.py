@@ -127,3 +127,34 @@ def test_overflow_goes_to_stash():
     assert (index.stash[:, 0] != EMPTY).sum() > 0, "expected stash occupancy"
     for i in rng.choice(keys.size, size=200, replace=False):
         assert _host_lookup(index, int(keys[i])) == int(vals[i])
+
+
+def test_run_length_rank_path_matches_searchsorted(rng):
+    """The rank-carrying fast path (position_ranks) must produce exactly
+    the searchsorted path's run lengths and table aux bytes."""
+    import seekmer_tpu.index.build as ib
+    from seekmer_tpu.config import IndexConfig
+    from seekmer_tpu.encoding import canonical_kmers
+    from seekmer_tpu.utils.simulate import random_transcriptome
+
+    _, seqs = random_transcriptome(rng, num_transcripts=40, min_len=100,
+                                   max_len=600, shared_prefix_frac=0.6)
+    cfg = IndexConfig()
+    codes, starts = ib._concat_codes(seqs)
+    all_keys, all_valid = canonical_kmers(codes, cfg.k)
+    pos = np.flatnonzero(all_valid)
+    keys = all_keys[pos]
+    tids = (np.searchsorted(starts, pos, side="right") - 1).astype(np.int32)
+    uk, key_ec, eo, et, krank = ib.group_equivalence_classes(
+        keys, tids, return_key_rank=True)
+    # rank sanity: every pair's rank points at its own key
+    np.testing.assert_array_equal(uk[krank], keys)
+    d_legacy = ib.compute_run_lengths(seqs, uk, key_ec, cfg.k,
+                                      kmer_stream=(all_keys, all_valid))
+    d_fast = ib.compute_run_lengths(seqs, uk, key_ec, cfg.k,
+                                    kmer_stream=(all_keys, all_valid),
+                                    position_ranks=(pos, krank))
+    np.testing.assert_array_equal(d_fast, d_legacy)
+    t_with = ib.build_tables(uk, key_ec, cfg.k, cfg, aux=d_fast)
+    assert (t_with["table"][:, 0] != -1).sum() + \
+           (t_with["stash"][:, 0] != -1).sum() == uk.size
