@@ -100,8 +100,14 @@ def group_equivalence_classes(
     """
     n_pairs = keys.size
     # Sort pairs by (key, tid) and drop duplicates (k-mer repeated in a
-    # transcript must count once).
-    order = np.lexsort((tids, keys))
+    # transcript must count once). The pair stream arrives in transcript
+    # order (tids nondecreasing), so ONE stable sort by key already yields
+    # (key, tid) order — the lexsort's tid pass is redundant work at 62M
+    # pairs. Fall back to the full lexsort for arbitrary input.
+    if tids.size == 0 or (np.diff(tids) >= 0).all():
+        order = np.argsort(keys, kind="stable")
+    else:
+        order = np.lexsort((tids, keys))
     keys, tids = keys[order], tids[order]
     key_rank = None
     if return_key_rank:
