@@ -148,12 +148,13 @@ def config2(args):
     from seekmer_tpu.config import MapConfig
     from seekmer_tpu.io.fastq import ReadBatch
     from seekmer_tpu.map.driver import Mapper
-    from seekmer_tpu.utils.simulate import simulate_packed_batches
+    from seekmer_tpu.utils.simulate import simulate_packed_pairs
 
     rng, index, seqs, build_s = _world(args.transcripts, isoform=True)
     B, L = args.batch, args.read_len
-    c1, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
-    c2, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+    # real mates (same fragment): two independent read streams gave every
+    # pair a unique union-signature — the degenerate accumulate-heavy case
+    c1, c2, _ = simulate_packed_pairs(rng, seqs, args.batches + 1, B, L)
     cfg = MapConfig(batch_size=B, paired_end=True, probe_stride=args.stride,
                     sig_table_bits=22)
     mapper = Mapper(index, cfg)

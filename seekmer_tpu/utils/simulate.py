@@ -168,6 +168,61 @@ def simulate_packed_batches(
     return codes.reshape(num_batches, batch_size, read_len), true_counts
 
 
+def simulate_packed_pairs(
+    rng: np.random.Generator,
+    seqs: List[str],
+    num_batches: int,
+    batch_size: int,
+    read_len: int = 100,
+    mean_frag: float = 200.0,
+    sd_frag: float = 20.0,
+    error_rate: float = 0.005,
+    abundance: Optional[np.ndarray] = None,
+):
+    """Vectorized PAIRED-fragment simulation into packed device batches.
+
+    Both mates come from the same fragment (mate 2 = reverse complement of
+    the fragment's far end), so paired-end signature/EC semantics are
+    realistic — drawing two independent read streams instead gives every
+    pair a unique union-signature, the degenerate worst case.
+
+    Returns (codes1, codes2 uint8[num_batches, B, L], true_counts int64[T]).
+    """
+    T = len(seqs)
+    lens = np.array([len(s) for s in seqs])
+    min_frag = read_len
+    eligible = lens >= min_frag
+    w = (abundance if abundance is not None else np.ones(T)) * np.maximum(
+        lens - mean_frag + 1, 0) * eligible
+    if w.sum() == 0:
+        w = eligible.astype(float)
+    p = w / w.sum()
+
+    concat = np.concatenate([seq_to_codes(s) for s in seqs])
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+
+    N = num_batches * batch_size
+    tids = rng.choice(T, size=N, p=p).astype(np.int32)
+    frag = np.clip(np.round(rng.normal(mean_frag, sd_frag, N)), min_frag,
+                   lens[tids]).astype(np.int64)
+    starts = (rng.random(N) * (lens[tids] - frag + 1)).astype(np.int64)
+    base = offsets[tids] + starts
+    pos1 = base[:, None] + np.arange(read_len)
+    codes1 = concat[pos1].astype(np.uint8)
+    # mate 2: last read_len bases of the fragment, reverse complemented
+    pos2 = (base + frag)[:, None] - 1 - np.arange(read_len)
+    c2 = concat[pos2].astype(np.uint8)
+    codes2 = np.where(c2 < 4, 3 - c2.astype(np.int16), 4).astype(np.uint8)
+    for codes in (codes1, codes2):
+        if error_rate > 0:
+            hit = rng.random(codes.shape) < error_rate
+            codes[hit] = rng.integers(0, 4, size=int(hit.sum()),
+                                      dtype=np.uint8)
+    true_counts = np.bincount(tids, minlength=T).astype(np.int64)
+    return (codes1.reshape(num_batches, batch_size, read_len),
+            codes2.reshape(num_batches, batch_size, read_len), true_counts)
+
+
 def _inject_errors(rng: np.random.Generator, read: str, rate: float) -> str:
     arr = np.frombuffer(read.encode(), dtype=np.uint8).copy()
     hit = rng.random(arr.size) < rate

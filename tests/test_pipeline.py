@@ -106,3 +106,35 @@ def test_cli_end_to_end(tmp_path, world):
     assert info["total_reads"] == len(sim.reads1)
     boot = np.load(out + "/bootstrap.npz")
     assert boot["est_counts"].shape == (8, len(names))
+
+
+def test_simulate_packed_pairs_mates_consistent(rng):
+    """Paired simulator: mates map to the same transcript (error-free)."""
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper, resolve_signatures
+    from seekmer_tpu.utils.simulate import (
+        random_transcriptome, simulate_packed_pairs,
+    )
+    import numpy as np
+
+    names, seqs = random_transcriptome(rng, num_transcripts=30, min_len=300,
+                                       max_len=1200)
+    index = build_index_from_seqs(names, seqs)
+    c1, c2, true = simulate_packed_pairs(rng, seqs, 1, 256, read_len=80,
+                                         error_rate=0.0)
+    cfg = MapConfig(batch_size=256, paired_end=True, sig_table_bits=12)
+    m = Mapper(index, cfg)
+    L = np.full(256, 80, np.int32)
+    m.feed(ReadBatch(c1[0], L, np.ones(256, np.int32), codes2=c2[0],
+                     lengths2=L))
+    res = m.finalize()
+    assert res.mapped == 256
+    members, counts, dropped = resolve_signatures(res, index)
+    assert dropped == 0  # mates from one fragment never conflict
+    # estimated distribution tracks the truth
+    est = np.zeros(len(names))
+    for mem, n in zip(members, counts):
+        est[mem] += n / mem.size
+    assert np.corrcoef(est, true)[0, 1] > 0.8
