@@ -27,9 +27,18 @@ def _enable_compilation_cache() -> None:
         # directory outlives the machine. (TPU programs recompile too on a
         # host change — correctness over reuse.)
         try:
+            import platform
+
             with open("/proc/cpuinfo") as fh:
-                flags = next((l for l in fh if l.startswith("flags")), "")
-            fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+                # x86 uses "flags", aarch64 uses "Features"; include the
+                # model line and machine so a host with NEITHER keyword
+                # still gets a distinct fingerprint per CPU type
+                stable = [l for l in fh
+                          if l.startswith(("flags", "Features",
+                                           "model name", "CPU part"))]
+            fp = hashlib.sha1(
+                ("".join(sorted(set(stable))) + platform.machine())
+                .encode()).hexdigest()[:10]
         except OSError:
             fp = "nohost"
         path = os.environ.get(

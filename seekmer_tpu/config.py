@@ -101,10 +101,14 @@ class MapConfig:
     sig_backend: str = "xla"
     # Concurrent FASTQ decode threads (the TPU-era analog of the
     # reference's --jobs reader pool, SURVEY.md 2.1 C6): 0 = auto
-    # (min(4, n_files)), 1 = serial deterministic order (required for
-    # checkpoint resume; forced automatically when --checkpoint is set),
-    # N = up to N files decoded in parallel. gzip inflate is ~0.4M
-    # reads/s single-threaded — well below the device map rate.
+    # (min(4, n_files); single-end only), 1 = serial deterministic order
+    # (required for checkpoint resume; forced automatically when
+    # --checkpoint is set), N > 1 = up to N files decoded in parallel.
+    # Paired-end parallel decode is OPT-IN (explicit N > 1, never auto):
+    # it pairs mate files index-by-index, which rejects layouts where
+    # R1/R2 totals match but per-file counts differ — the serial default
+    # aligns the concatenated streams and accepts them. gzip inflate is
+    # ~0.4M reads/s single-threaded — well below the device map rate.
     io_workers: int = 0
 
 

@@ -71,15 +71,8 @@ def batched_em(cmat, dtype, ec_ids, txp_ids, lengths,
     B, T = cmat.shape[0], num_transcripts
     counts_nnz = cmat.T.astype(dtype)[ec_ids]  # (nnz, B), loop-constant
     inv_eff_nnz = (1.0 / eff)[txp_ids][:, None]  # (nnz, 1)
-
-    def em_iter(alpha):  # (T, B)
-        w = alpha[txp_ids] * inv_eff_nnz
-        denom = jax.ops.segment_sum(
-            w, ec_ids, num_segments=num_ecs, indices_are_sorted=True)
-        d = denom[ec_ids]
-        r = jnp.where(d > 0, counts_nnz * w / d, 0.0)
-        return jax.ops.segment_sum(r, txp_ids, num_segments=T)
-
+    em_iter = _batched_iter(counts_nnz, inv_eff_nnz, ec_ids, txp_ids,
+                            num_ecs, T)
     n_per = cmat.sum(axis=1)  # (B,)
     alpha0 = jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
     if cfg.accel == "squarem":

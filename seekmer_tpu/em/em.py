@@ -175,22 +175,16 @@ def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig):
     bootstrap EM, and the collective (psum) EM; the Pallas kernels mirror
     the same schedule in-kernel.
     """
-    C = max(cfg.check_every, 1)
-
     def cond(state):
         it, converged, _ = state
         return (~converged) & (it < cfg.max_iters)
 
-    def body(state):
-        it, _, alpha = state
-        alpha_m = jax.lax.fori_loop(0, C - 1, lambda i, a: em_iter(a), alpha)
-        alpha_new = em_iter(alpha_m)
-        converged = (convergence_check(alpha_m, alpha_new, cfg)
-                     & (it + C >= cfg.min_iters))
-        return it + C, converged, alpha_new
-
+    # one shared block implementation with the chunked host driver
+    # (_block_body); its converged-identity gate is dead code here (cond
+    # stops the loop first) but keeps the two paths state-for-state equal
     return jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(False), alpha0))
+        cond, _block_body(em_iter, cfg),
+        (jnp.int32(0), jnp.bool_(False), alpha0))
 
 
 def _block_body(em_iter, cfg: EMConfig):

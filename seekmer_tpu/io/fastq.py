@@ -185,40 +185,79 @@ class _BucketAccumulator:
 _DONE = object()
 
 
-def _parallel_chunks(make_streams, queue_depth: int = 8):
-    """Run each chunk-iterator in its own thread; yield items as they
-    arrive. Order is preserved WITHIN each stream, arbitrary across
-    streams. gzip inflate and the ctypes packer both release the GIL, so
-    multi-file decode scales to ~number-of-files (SURVEY.md 7.5 item 4:
-    host ingest must keep the chips fed — gzip decode is ~0.4M reads/s
-    single-threaded vs a >1M reads/s device map rate)."""
+def _parallel_chunks(make_streams, workers: int, queue_depth: int = 8):
+    """Run the chunk-iterators over at most ``workers`` threads; yield
+    items as they arrive. Order is preserved WITHIN each stream, arbitrary
+    across streams. gzip inflate and the ctypes packer both release the
+    GIL, so multi-file decode scales to ~min(workers, n_files) (SURVEY.md
+    7.5 item 4: host ingest must keep the chips fed — gzip decode is
+    ~0.4M reads/s single-threaded vs a >1M reads/s device map rate).
+
+    Each worker drains one stream fully before taking the next (a stream
+    is never touched by two threads). If the consumer abandons the
+    generator or a stream raises, a cancel flag unblocks producers stuck
+    on the bounded queue and every stream generator is closed
+    deterministically (its ``finally`` releases file handles / C reader
+    state) — without it, aborted ingests leaked blocked daemon threads.
+    """
+    import contextlib
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+    cancel = threading.Event()
+    pending = list(enumerate(make_streams))
+    lock = threading.Lock()
+    n_streams = len(pending)
 
-    def worker(stream):
-        try:
-            for item in stream:
-                q.put(item)
-            q.put(_DONE)
-        except BaseException as e:  # surface in the consumer
-            q.put(e)
+    def put(item) -> bool:
+        while True:
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                if cancel.is_set():
+                    return False
 
-    streams = [make() for make in make_streams]
-    threads = [threading.Thread(target=worker, args=(s,), daemon=True)
-               for s in streams]
+    def worker():
+        while not cancel.is_set():
+            with lock:
+                if not pending:
+                    return
+                _, make = pending.pop(0)
+            try:
+                stream = make()
+                with contextlib.closing(stream):
+                    for item in stream:
+                        if not put(item):
+                            return
+                if not put(_DONE):
+                    return
+            except BaseException as e:  # surface in the consumer
+                put(e)
+                return
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(max(1, min(workers, n_streams)))]
     for t in threads:
         t.start()
     done = 0
-    while done < len(streams):
-        item = q.get()
-        if item is _DONE:
-            done += 1
-            continue
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while done < n_streams:
+            item = q.get()
+            if item is _DONE:
+                done += 1
+                continue
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancel.set()
+        while True:  # unblock any producer waiting on the bounded queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _effective_io_workers(cfg: MapConfig, n_streams: int) -> int:
@@ -242,11 +281,12 @@ def batch_reads_native(
         return
     acc = _BucketAccumulator(cfg)
     paths = list(paths)
-    if _effective_io_workers(cfg, len(paths)) > 1:
+    workers = _effective_io_workers(cfg, len(paths))
+    if workers > 1:
         makers = [
             (lambda p=p: stream_packed(p, cfg.max_read_len)) for p in paths
         ]
-        for codes, lengths in _parallel_chunks(makers):
+        for codes, lengths in _parallel_chunks(makers, workers):
             yield from acc.add(codes, lengths)
     else:
         for path in paths:
@@ -292,21 +332,29 @@ def batch_read_pairs_native(
             yield from stream_packed(p, cfg.max_read_len)
 
     paths1, paths2 = list(paths1), list(paths2)
-    if (len(paths1) == len(paths2)
-            and _effective_io_workers(cfg, len(paths1)) > 1):
-        # one thread per (R1, R2) file pair; requires files to pair
-        # index-by-index (the standard lane layout). Unequal counts within
-        # a pair raise — rerun with io_workers=1 for exotic splits, which
-        # aligns the two CHAINED streams instead.
+    # Paired parallel decode is OPT-IN (io_workers explicitly > 1), never
+    # auto: it pairs files index-by-index, which errors on the legal (if
+    # exotic) layout where R1/R2 totals match but per-file counts differ —
+    # the serial default aligns the two CHAINED streams and handles it.
+    if (cfg.io_workers > 1 and len(paths1) == len(paths2)
+            and len(paths1) > 1):
         def pair_stream(p1, p2):
-            return _aligned_chunks(stream_packed(p1, cfg.max_read_len),
-                                   stream_packed(p2, cfg.max_read_len))
+            try:
+                yield from _aligned_chunks(
+                    stream_packed(p1, cfg.max_read_len),
+                    stream_packed(p2, cfg.max_read_len))
+            except ValueError as e:
+                raise ValueError(
+                    f"{e} ({p1} / {p2}): with --io-workers > 1, mate files "
+                    "must pair index-by-index; re-run with --io-workers 1 "
+                    "to align the concatenated streams instead") from e
 
         makers = [
             (lambda a=p1, b=p2: pair_stream(a, b))
             for p1, p2 in zip(paths1, paths2)
         ]
-        chunk_iter = _parallel_chunks(makers)
+        chunk_iter = _parallel_chunks(makers, min(cfg.io_workers,
+                                                  len(paths1)))
     else:
         chunk_iter = _aligned_chunks(stream(paths1), stream(paths2))
 

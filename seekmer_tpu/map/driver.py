@@ -143,15 +143,24 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
 
     hi, lo, valid = pack(codes, lengths, di.k)
     if codes2 is not None:
-        # both mates go through ONE lookup call (windows concatenated
-        # along the position axis) so the stash round + residual loop
-        # machinery is paid once per batch, not once per mate
         hi2, lo2, valid2 = pack(codes2, lengths2, di.k)
         P1 = hi.shape[1]
-        hi = jnp.concatenate([hi, hi2], axis=1)
-        lo = jnp.concatenate([lo, lo2], axis=1)
+        if stride > 1:
+            # strided mode fills gaps from neighboring samples' EC run
+            # lengths — concatenated mates would let coverage leak across
+            # the mate boundary (position P1-1/P1 are NOT adjacent genomic
+            # windows), assigning wrong ECs to boundary windows. Probe
+            # each mate separately.
+            ecs = jnp.concatenate([lk(hi, lo, valid), lk(hi2, lo2, valid2)],
+                                  axis=1)
+        else:
+            # dense mode: both mates through ONE lookup call (windows
+            # concatenated along the position axis) so the stash round +
+            # residual loop machinery is paid once per batch, not per mate
+            ecs = lk(jnp.concatenate([hi, hi2], axis=1),
+                     jnp.concatenate([lo, lo2], axis=1),
+                     jnp.concatenate([valid, valid2], axis=1))
         valid = jnp.concatenate([valid, valid2], axis=1)
-        ecs = lk(hi, lo, valid)
         if cfg.fusion_pairs:
             # fusion mode: keep per-mate signatures side by side so
             # discordant pairs stay resolvable (fusion.py, SURVEY C12)

@@ -140,7 +140,17 @@ long seekmer_next(void *h, uint8_t *codes, int32_t *lengths, long max_reads,
     }
     int got = gzread(r->gz, r->buf + r->len, (unsigned)(r->cap - r->len));
     if (got < 0) return -2;
-    if (got == 0) r->eof = 1;
+    if (got == 0) {
+      /* distinguish clean EOF from a TRUNCATED gzip stream: premature end
+       * of a member leaves gzerror at Z_BUF_ERROR ("unexpected end of
+       * file") while gzread still returns 0 — treating that as EOF
+       * silently drops every read past the cut (a truncated .gz whose
+       * recoverable prefix ends on a record boundary "succeeds"). */
+      int errnum = Z_OK;
+      gzerror(r->gz, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) return -2;
+      r->eof = 1;
+    }
     r->len += got;
   }
 }

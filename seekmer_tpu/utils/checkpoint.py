@@ -20,7 +20,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-FORMAT = 1
+# 2: SigTable.key became bucketized (S/KB+1, KB, 2); format-1 checkpoints
+# would otherwise load "successfully" and crash accumulate at trace time.
+FORMAT = 2
 
 
 def save_map_checkpoint(

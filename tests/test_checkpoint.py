@@ -88,3 +88,23 @@ def test_em_snapshot_roundtrip_and_warm_start(tmp_path, world):
     assert int(it3) <= em_cfg.min_iters + em_cfg.check_every
     np.testing.assert_allclose(np.asarray(alpha3), np.asarray(alpha),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_old_format_checkpoint_rejected(tmp_path):
+    import json
+
+    import numpy as np
+    import pytest
+
+    from seekmer_tpu.utils import checkpoint as cp
+
+    path = str(tmp_path / "old.ckpt")
+    meta = dict(format=1, total_reads=5, stream_state={})
+    with open(path, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            key=np.zeros((17, 2), np.int32), count=np.zeros(17, np.int32),
+            sig=np.zeros((17, 4), np.int32), overflow=np.zeros((), np.int32))
+    with pytest.raises(ValueError, match="format"):
+        cp.load_map_checkpoint(path)

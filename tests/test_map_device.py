@@ -167,3 +167,32 @@ def test_mapper_matches_oracle(setup):
     for row, n in zip(result.sigs, result.sig_counts):
         got[tuple(row[row != int(SIG_PAD)].tolist())] = int(n)
     assert got == dict(o_sigs)
+
+
+def test_paired_strided_matches_dense(rng):
+    """Stride coverage must not leak across the mate boundary: strided
+    paired mapping equals dense paired mapping on error-free mates."""
+    from seekmer_tpu.config import MapConfig
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import Mapper, merge_sig_rows
+    from seekmer_tpu.utils.simulate import (
+        isoform_transcriptome, simulate_packed_pairs,
+    )
+
+    names, seqs, genes = isoform_transcriptome(rng, num_genes=12)
+    c1, c2, _ = simulate_packed_pairs(rng, seqs, 1, 128, read_len=96,
+                                      error_rate=0.0)
+    L = np.full(128, 96, np.int32)
+    w = np.ones(128, np.int32)
+    index = build_index_from_seqs(names, seqs, genes=genes)
+    results = {}
+    for stride in (1, 3):
+        cfg = MapConfig(batch_size=128, paired_end=True, sig_table_bits=12,
+                        probe_stride=stride)
+        m = Mapper(index, cfg)
+        m.feed(ReadBatch(c1[0], L, w, codes2=c2[0], lengths2=L))
+        r = m.finalize()
+        results[stride] = {tuple(s.tolist()): int(n)
+                           for s, n in zip(r.sigs, r.sig_counts)}
+    assert results[1] == results[3]

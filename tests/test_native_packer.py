@@ -160,3 +160,37 @@ def test_parallel_paired_ingest_equals_serial(tmp_path, reads):
     b = _flatten_rows(batch_read_pairs_native(paths1, paths2, par),
                       paired=True)
     assert a == b
+
+
+def test_truncated_gz_raises(tmp_path, reads):
+    """A .gz cut short must raise, not silently succeed with fewer reads."""
+    import gzip
+
+    p = str(tmp_path / "t.fq.gz")
+    write_fastq(p, reads)
+    blob = open(p, "rb").read()
+    cut = str(tmp_path / "cut.fq.gz")
+    with open(cut, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    with pytest.raises((OSError, ValueError)):
+        for _ in stream_packed(cut, 512):
+            pass
+
+
+def test_parallel_chunks_worker_cap_and_abort(tmp_path, reads):
+    """More files than workers completes correctly; abandoning the
+    consumer mid-stream must not deadlock (cancel path)."""
+    from seekmer_tpu.io.fastq import _parallel_chunks
+
+    paths = [_mk_fastq(tmp_path, reads[i::5], gz=True, name=f"w{i}.fq")
+             for i in range(5)]
+    makers = [(lambda p=p: stream_packed(p, 512, chunk_reads=16))
+              for p in paths]
+    total = sum(c.shape[0] for c, _ in _parallel_chunks(makers, workers=2))
+    assert total == len(reads)
+    # early abandon: take one item, close the generator
+    gen = _parallel_chunks([(lambda p=p: stream_packed(p, 512,
+                                                       chunk_reads=4))
+                            for p in paths], workers=2)
+    next(gen)
+    gen.close()  # must not hang
