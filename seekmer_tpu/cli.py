@@ -185,6 +185,13 @@ def cmd_infer(args) -> int:
     out = os.path.join(args.output_dir, "abundance.tsv")
     write_abundance(out, result.names, result.lengths, result.eff_length,
                     result.est_counts, result.tpm)
+    from .io.writer import write_h5
+
+    write_h5(os.path.join(args.output_dir, "abundance.h5"),
+             result.names, result.lengths, result.eff_length,
+             result.est_counts, boot_counts=result.bootstrap_counts,
+             run_info={"total_reads": result.total_reads,
+                       "call": " ".join(sys.argv)})
     if result.bootstrap_counts is not None:
         write_bootstrap(os.path.join(args.output_dir, "bootstrap.npz"),
                         result.names, result.bootstrap_counts)

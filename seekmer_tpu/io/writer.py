@@ -44,6 +44,52 @@ def write_gene_abundance(
             fh.write(f"{g}\t{g_counts[i]:.6g}\t{g_tpm[i]:.6g}\n")
 
 
+def write_h5(
+    path: str,
+    names: np.ndarray,
+    lengths: np.ndarray,
+    eff_lengths: np.ndarray,
+    est_counts: np.ndarray,
+    boot_counts=None,
+    run_info: Dict | None = None,
+) -> bool:
+    """kallisto-compatible ``abundance.h5`` (the format sleuth and other
+    downstream tools consume): /est_counts, /aux/{ids,lengths,eff_lengths,
+    num_bootstrap,...}, /bootstrap/bs{i}. Returns False (no file) when
+    h5py is unavailable in the environment."""
+    try:
+        import h5py
+    except ImportError:
+        return False
+    B = 0 if boot_counts is None else int(boot_counts.shape[0])
+    info = run_info or {}
+    with h5py.File(path, "w") as f:
+        f.create_dataset("est_counts",
+                         data=np.asarray(est_counts, np.float64))
+        aux = f.create_group("aux")
+        aux.create_dataset(
+            "ids", data=np.array([str(n) for n in names], dtype="S"))
+        aux.create_dataset("lengths", data=np.asarray(lengths, np.int32))
+        aux.create_dataset("eff_lengths",
+                           data=np.asarray(eff_lengths, np.float64))
+        aux.create_dataset("num_bootstrap",
+                           data=np.array([B], np.int32))
+        aux.create_dataset("num_processed", data=np.array(
+            [int(info.get("total_reads", 0))], np.int64))
+        aux.create_dataset("kallisto_version",
+                           data=np.bytes_("seekmer_tpu"))
+        aux.create_dataset("index_version", data=np.array([1], np.int64))
+        aux.create_dataset("start_time",
+                           data=np.bytes_(str(info.get("start_time", ""))))
+        aux.create_dataset("call", data=np.bytes_(str(info.get("call", ""))))
+        if B:
+            bs = f.create_group("bootstrap")
+            for i in range(B):
+                bs.create_dataset(
+                    f"bs{i}", data=np.asarray(boot_counts[i], np.float64))
+    return True
+
+
 def write_bootstrap(path: str, names: np.ndarray, boot_counts: np.ndarray) -> None:
     """Bootstrap est_counts matrix (replicates x transcripts) as npz."""
     np.savez_compressed(path, names=names.astype("S"), est_counts=boot_counts)

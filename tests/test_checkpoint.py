@@ -108,3 +108,31 @@ def test_old_format_checkpoint_rejected(tmp_path):
             sig=np.zeros((17, 4), np.int32), overflow=np.zeros((), np.int32))
     with pytest.raises(ValueError, match="format"):
         cp.load_map_checkpoint(path)
+
+
+def test_write_h5_roundtrip(tmp_path):
+    """kallisto-compatible abundance.h5 schema (sleuth-consumable)."""
+    h5py = pytest.importorskip("h5py")
+    import numpy as np
+
+    from seekmer_tpu.io.writer import write_h5
+
+    T, B = 7, 3
+    rng = np.random.default_rng(0)
+    names = np.array([f"t{i}" for i in range(T)])
+    lengths = rng.integers(200, 900, T).astype(np.int32)
+    eff = lengths - 150.0
+    est = rng.random(T) * 100
+    boot = rng.random((B, T)) * 100
+    path = str(tmp_path / "abundance.h5")
+    ok = write_h5(path, names, lengths, eff, est, boot_counts=boot,
+                  run_info={"total_reads": 1234, "call": "test"})
+    assert ok
+    with h5py.File(path) as f:
+        np.testing.assert_allclose(f["est_counts"][:], est)
+        assert [x.decode() for x in f["aux/ids"][:]] == list(names)
+        np.testing.assert_array_equal(f["aux/lengths"][:], lengths)
+        np.testing.assert_allclose(f["aux/eff_lengths"][:], eff)
+        assert int(f["aux/num_bootstrap"][0]) == B
+        assert int(f["aux/num_processed"][0]) == 1234
+        np.testing.assert_allclose(f["bootstrap/bs1"][:], boot[1])
