@@ -37,11 +37,14 @@ def _add_infer(sub):
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument("--max-ecs-per-read", type=int, default=16)
     p.add_argument("--sig-table-bits", type=int, default=20)
-    p.add_argument("--fragment-length", type=float, default=200.0)
-    p.add_argument("--fragment-sd", type=float, default=0.0,
+    p.add_argument("--fragment-length", type=float, default=None,
+                   help="fragment-length mean (default: estimated from "
+                        "mapped pairs for paired-end runs, else 200)")
+    p.add_argument("--fragment-sd", type=float, default=None,
                    help="fragment-length sd; > 0 switches the effective-"
                         "length model to the truncated-normal FLD "
-                        "expectation")
+                        "expectation (default: estimated from mapped "
+                        "pairs for paired-end runs, else 0)")
     p.add_argument("--em-tolerance", type=float, default=1e-4)
     p.add_argument("--em-max-iters", type=int, default=1000)
     p.add_argument("--em-accel", choices=("none", "squarem"), default="none",
@@ -158,8 +161,13 @@ def cmd_infer(args) -> int:
             sig_backend=args.sig_backend,
         ),
         em=EMConfig(
-            mean_fragment_length=args.fragment_length,
-            fragment_length_sd=args.fragment_sd,
+            # explicit FLD flags override data-driven estimation
+            mean_fragment_length=(200.0 if args.fragment_length is None
+                                  else args.fragment_length),
+            fragment_length_sd=(0.0 if args.fragment_sd is None
+                                else args.fragment_sd),
+            estimate_fld=(args.fragment_length is None
+                          and args.fragment_sd is None),
             rel_tol=args.em_tolerance,
             max_iters=args.em_max_iters,
             accel=args.em_accel,
@@ -187,11 +195,13 @@ def cmd_infer(args) -> int:
                     result.est_counts, result.tpm)
     from .io.writer import write_h5
 
-    write_h5(os.path.join(args.output_dir, "abundance.h5"),
-             result.names, result.lengths, result.eff_length,
-             result.est_counts, boot_counts=result.bootstrap_counts,
-             run_info={"total_reads": result.total_reads,
-                       "call": " ".join(sys.argv)})
+    if not write_h5(os.path.join(args.output_dir, "abundance.h5"),
+                    result.names, result.lengths, result.eff_length,
+                    result.est_counts, boot_counts=result.bootstrap_counts,
+                    run_info={"total_reads": result.total_reads,
+                              "call": " ".join(sys.argv)}):
+        logging.warning("h5py not installed; abundance.h5 not written "
+                        "(sleuth consumers need the HDF5 output)")
     if result.bootstrap_counts is not None:
         write_bootstrap(os.path.join(args.output_dir, "bootstrap.npz"),
                         result.names, result.bootstrap_counts)
@@ -209,6 +219,9 @@ def cmd_infer(args) -> int:
             "unmapped": result.unmapped,
             "p_mapped": result.mapped / max(result.total_reads, 1),
             "em_iterations": result.em_iterations,
+            "fld": (None if result.fld_mean is None else
+                    {"mean": result.fld_mean, "sd": result.fld_sd,
+                     "samples": result.fld_samples}),
             "bootstrap_samples": args.bootstrap,
             "timings": result.timings,
             "index": args.index,

@@ -38,6 +38,12 @@ class IndexConfig:
     # Store per-k-mer EC run lengths in the aux column (enables the strided
     # probe mode, MapConfig.probe_stride).
     run_length_aux: bool = True
+    # Store per-slot (transcript, position) for globally-unique k-mers —
+    # the payload that lets paired-end runs estimate the fragment-length
+    # distribution from the data (map/fld.py) instead of requiring the
+    # user to guess --fragment-length (reference infer.py's FLD handling
+    # is an open parameter, SURVEY.md 3.4).
+    fld_positions: bool = True
 
     def __post_init__(self):
         if not (1 <= self.k <= 29):
@@ -126,6 +132,11 @@ class EMConfig:
     #            with p ~ N(mean, sd) on f in [1, mean + 5 sd].
     mean_fragment_length: float = 200.0
     fragment_length_sd: float = 0.0
+    # Estimate (mean, sd) from concordantly mapped pairs (map/fld.py) and
+    # use them in place of the two values above. Effective only for
+    # paired-end runs against an index built with fld_positions; explicit
+    # CLI --fragment-length/--fragment-sd flags disable it.
+    estimate_fld: bool = True
     # Convergence: stop when max_t |alpha'_t - alpha_t| / (alpha'_t + abs_floor)
     # < rel_tol over transcripts with alpha'_t > count_floor, after min_iters.
     rel_tol: float = 1e-4

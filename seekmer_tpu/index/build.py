@@ -181,14 +181,18 @@ def build_bucket_table(
     bucket: int,
     hash_fn,
     aux: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_placement: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Place keys in their home bucket (hash & (n_buckets-1)); a bucket holds
     ``bucket`` slots. Keys that do not fit (home bucket full) are returned as
     the overflow mask, NOT placed — the caller routes them to the stash.
 
     Returns (table int32[n_buckets*bucket, 4], overflow_mask). Fully
     vectorized: sort by home bucket, rank within the bucket group, keep
-    rank < bucket.
+    rank < bucket. ``return_placement`` appends (slot, src): placed key
+    ``src[i]`` landed in table slot ``slot[i]`` — callers fill extra
+    per-slot payload arrays (e.g. the FLD position tables) without a
+    key->slot search pass.
     """
     mask = np.uint32(n_buckets - 1)
     homes = (hash_fn(hi.view(np.uint32), lo.view(np.uint32)) & mask).astype(
@@ -213,27 +217,33 @@ def build_bucket_table(
     table[slot, 1] = lo[src]
     table[slot, 2] = vals[src]
     table[slot, 3] = 0 if aux is None else aux[src]
+    if return_placement:
+        return table, overflow, slot, src
     return table, overflow
 
 
 def build_tables(
     unique_keys: np.ndarray, key_ec: np.ndarray, k: int, cfg: IndexConfig,
     aux: Optional[np.ndarray] = None,
+    fld: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> dict:
     """Bucketized 2-choice tables: every key lives in its main home bucket
     or (if that bucket is full) its stash home bucket — so a device lookup
     is exactly one bucket gather, plus one compacted stash gather for the
     rare overflow lanes (ops/probe.py). ``aux`` (per-key EC run lengths)
     is written at placement time — a separate fill pass cost a
-    searchsorted over every occupied slot (31 s at GENCODE scale)."""
+    searchsorted over every occupied slot (31 s at GENCODE scale).
+    ``fld`` = per-key (utid, upos) unique-occurrence payload (map/fld.py),
+    scattered into per-slot arrays by the same placement."""
     hi, lo = split_key(unique_keys, k)
     n = unique_keys.size
     G = cfg.bucket_size
     n_buckets = _next_pow2(
         max(int(np.ceil(n / (cfg.load_factor * G))), 2)
     )
-    table, overflow = build_bucket_table(hi, lo, key_ec, n_buckets, G,
-                                         hash_kmer, aux=aux)
+    table, overflow, slot, src = build_bucket_table(
+        hi, lo, key_ec, n_buckets, G, hash_kmer, aux=aux,
+        return_placement=True)
     n_over = int(overflow.sum())
     log.info(
         "main table: %d keys, %d buckets x %d (load %.2f), %d stashed (%.2g)",
@@ -248,19 +258,34 @@ def build_tables(
             int(np.ceil(max(n_over, 1) / (cfg.stash_load * G))), 2)
     )
     while True:
-        stash, s_over = build_bucket_table(
-            s_hi, s_lo, s_val, stash_buckets, G, hash_kmer_stash, aux=s_aux
+        stash, s_over, s_slot, s_src = build_bucket_table(
+            s_hi, s_lo, s_val, stash_buckets, G, hash_kmer_stash, aux=s_aux,
+            return_placement=True,
         )
         if not s_over.any():
             break
         stash_buckets *= 2  # extremely unlikely at stash_load
-    return dict(
+
+    out = dict(
         table=table,
         main_slots=n_buckets * G,
         stash=stash,
         stash_slots=stash_buckets * G,
         bucket=G,
     )
+    if fld is not None:
+        utid, upos = fld
+        S = n_buckets * G + stash_buckets * G
+        fld_tid = np.full(S, -1, np.int32)
+        fld_pos = np.zeros(S, np.int32)
+        fld_tid[slot] = utid[src]
+        fld_pos[slot] = upos[src]
+        over_idx = np.flatnonzero(overflow)
+        fld_tid[n_buckets * G + s_slot] = utid[over_idx[s_src]]
+        fld_pos[n_buckets * G + s_slot] = upos[over_idx[s_src]]
+        out["fld_tid"] = fld_tid
+        out["fld_pos"] = fld_pos
+    return out
 
 
 def build_index(
@@ -384,7 +409,24 @@ def build_index_from_seqs(
         aux = compute_run_lengths(seqs, unique_keys, key_ec, cfg.k,
                                   kmer_stream=(all_keys, all_valid),
                                   position_ranks=(pos, krank))
-    tables = build_tables(unique_keys, key_ec, cfg.k, cfg, aux=aux)
+    fld = None
+    if cfg.fld_positions and keys.size:
+        # Per-slot payload for fragment-length estimation (map/fld.py):
+        # k-mers occurring EXACTLY ONCE in the whole transcriptome pin an
+        # unambiguous (transcript, position); a read-pair whose mates both
+        # hit such k-mers in the same transcript yields one observed
+        # fragment length.
+        occ = np.bincount(krank, minlength=unique_keys.size)
+        utid = np.full(unique_keys.size, -1, np.int32)
+        upos = np.zeros(unique_keys.size, np.int32)
+        w = np.flatnonzero(occ[krank] == 1)
+        utid[krank[w]] = tids[w]
+        upos[krank[w]] = (pos[w] - starts[tids[w]]).astype(np.int32)
+        fld = (utid, upos)
+        log.info("FLD payload: %d globally-unique k-mers (%.0f%%)",
+                 int((utid >= 0).sum()),
+                 100.0 * (utid >= 0).mean())
+    tables = build_tables(unique_keys, key_ec, cfg.k, cfg, aux=aux, fld=fld)
 
     if genes is not None:
         genes = np.array(genes)

@@ -40,6 +40,11 @@ class KMerIndex:
       ec_transcripts: int32[nnz] sorted transcript ids per EC.
       names: np.ndarray[str] transcript names, lengths: int32[T].
       genes: optional np.ndarray[str] per-transcript gene ids.
+      fld_tid / fld_pos: optional int32[S_main + S_stash] per-slot payload
+        for fragment-length estimation (map/fld.py): for slots holding a
+        GLOBALLY UNIQUE k-mer (one occurrence in the whole transcriptome),
+        the transcript id and the window's transcript-local position;
+        -1 / 0 elsewhere. Stash slots follow main slots.
     """
 
     k: int
@@ -53,6 +58,8 @@ class KMerIndex:
     names: np.ndarray
     lengths: np.ndarray
     genes: Optional[np.ndarray] = None
+    fld_tid: Optional[np.ndarray] = None
+    fld_pos: Optional[np.ndarray] = None
 
     @property
     def num_transcripts(self) -> int:
@@ -92,6 +99,9 @@ class KMerIndex:
         )
         if self.genes is not None:
             arrays["genes"] = self.genes.astype("S")
+        if self.fld_tid is not None:
+            arrays["fld_tid"] = self.fld_tid
+            arrays["fld_pos"] = self.fld_pos
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -113,4 +123,6 @@ class KMerIndex:
                 names=z["names"].astype(str),
                 lengths=z["lengths"],
                 genes=genes,
+                fld_tid=z["fld_tid"] if "fld_tid" in z.files else None,
+                fld_pos=z["fld_pos"] if "fld_pos" in z.files else None,
             )

@@ -9,7 +9,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -36,6 +36,12 @@ class QuantResult:
     em_iterations: int
     bootstrap_counts: Optional[np.ndarray] = None  # [B, T]
     timings: Optional[Dict[str, float]] = None
+    # fragment-length distribution estimated from mapped pairs (map/fld.py);
+    # None when not estimated (single-end, no FLD payload, or too few
+    # concordant unique-k-mer pairs)
+    fld_mean: Optional[float] = None
+    fld_sd: Optional[float] = None
+    fld_samples: Optional[int] = None
 
 
 class Quantifier:
@@ -140,6 +146,14 @@ class Quantifier:
         t0 = time.perf_counter()
         if mapper is None:
             mapper = self._make_mapper()
+        self._fld_est = None
+        if (self.cfg.em.estimate_fld and self.index.fld_tid is not None
+                and hasattr(mapper, "device_index")):
+            batches = self._tee_fld(batches, mapper)
+        elif self.cfg.em.estimate_fld and not hasattr(mapper, "device_index"):
+            log.info("FLD estimation skipped: no replicated device index "
+                     "in this shard mode (prefix-sharded); using the "
+                     "configured fragment-length model")
         if checkpoint_path and not isinstance(mapper, Mapper):
             log.warning("checkpointing is only supported single-chip; "
                         "ignoring --checkpoint")
@@ -157,6 +171,32 @@ class Quantifier:
         )
         return self._infer(result, t_map)
 
+    def _tee_fld(self, batches, mapper):
+        """Pass batches through while sampling the first paired ones into a
+        fragment-length estimator (map/fld.py). The estimator shares the
+        mapper's device-resident table; it goes inert (and its payload
+        arrays are dropped) after its sampling batches."""
+        from ..map.fld import FLDEstimator
+
+        for b in batches:
+            if b.codes2 is not None and self._fld_est is None:
+                self._fld_est = FLDEstimator(self.index, mapper.device_index)
+            if self._fld_est is not None and self._fld_est.active:
+                self._fld_est.feed(b)
+            yield b
+
+    def _fld_cfg(self, em_cfg) -> Tuple["EMConfig", Optional[Tuple]]:
+        """Apply the estimated FLD (if any) to the effective-length model."""
+        fld = getattr(self, "_fld_est", None)
+        est = fld.estimate() if fld is not None else None
+        if est is None:
+            return em_cfg, None
+        mean, sd, n = est
+        log.info("estimated fragment-length distribution from %d mapped "
+                 "pairs: mean %.1f, sd %.1f", n, mean, sd)
+        return dataclasses.replace(
+            em_cfg, mean_fragment_length=mean, fragment_length_sd=sd), est
+
     def _infer(self, result: MapResult, t_map: float) -> QuantResult:
         import jax.numpy as jnp
 
@@ -164,7 +204,7 @@ class Quantifier:
         member_lists, counts, dropped = resolve_signatures(result, self.index)
         t_resolve = time.perf_counter() - t0
 
-        em_cfg = self.cfg.em
+        em_cfg, fld_est = self._fld_cfg(self.cfg.em)
         dtype = jnp.float64 if em_cfg.use_x64 else jnp.float32
         T = self.index.num_transcripts
         ec = build_ec_table(member_lists, counts, T, dtype=dtype)
@@ -212,4 +252,7 @@ class Quantifier:
             em_iterations=int(iters),
             bootstrap_counts=boot,
             timings={"map_s": t_map, "resolve_s": t_resolve, "em_s": t_em},
+            fld_mean=None if fld_est is None else fld_est[0],
+            fld_sd=None if fld_est is None else fld_est[1],
+            fld_samples=None if fld_est is None else fld_est[2],
         )

@@ -103,6 +103,58 @@ def resolve_signatures(
     return member_lists, counts, dropped
 
 
+def build_fld_dict(seqs: List[str], k: int) -> Dict[int, Tuple[int, int]]:
+    """key64 -> (tid, transcript-local window pos) for GLOBALLY UNIQUE
+    canonical k-mers (one occurrence in the whole transcriptome) — the
+    dict twin of the index's per-slot FLD payload (index/build.py)."""
+    seen: Dict[int, Tuple[int, int]] = {}
+    dup: set[int] = set()
+    for t, s in enumerate(seqs):
+        keys, valid = enc.canonical_kmers(enc.seq_to_codes(s), k)
+        for p in np.flatnonzero(valid).tolist():
+            key = int(keys[p])
+            if key in dup:
+                continue
+            if key in seen:
+                del seen[key]
+                dup.add(key)
+            else:
+                seen[key] = (t, p)
+    return seen
+
+
+def estimate_fld(
+    codes1: np.ndarray, codes2: np.ndarray,
+    fld_dict: Dict[int, Tuple[int, int]], k: int,
+    offsets: Tuple[int, ...] = (0, 7, 15, 23), max_len: int = 1024,
+) -> np.ndarray:
+    """float64 oracle of map/fld.fld_step: per pair, the first sampled
+    window offset per mate whose k-mer is globally unique; same-transcript
+    pairs contribute f = |q1 - q2| + k + o1 + o2 to the histogram."""
+    hist = np.zeros(max_len + 1, np.int64)
+
+    def first_unique(codes: np.ndarray):
+        keys, valid = enc.canonical_kmers(codes, k)
+        for o in offsets:
+            if o >= keys.size:
+                break
+            if not valid[o]:
+                continue
+            hit = fld_dict.get(int(keys[o]))
+            if hit is not None:
+                return hit[0], hit[1], o
+        return None
+
+    for c1, c2 in zip(codes1, codes2):
+        m1, m2 = first_unique(c1), first_unique(c2)
+        if m1 is None or m2 is None or m1[0] != m2[0]:
+            continue
+        f = abs(m1[1] - m2[1]) + k + m1[2] + m2[2]
+        if max(len(c1), len(c2)) <= f <= max_len:
+            hist[f] += 1
+    return hist
+
+
 def effective_lengths(lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:
     """float64 mirror of em.effective_lengths (same two fragment-length
     models, selected by cfg.fragment_length_sd)."""
