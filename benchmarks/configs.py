@@ -210,20 +210,29 @@ def config4(args):
     from seekmer_tpu.parallel.prefix_shard import PrefixShardedMapper
     from seekmer_tpu.utils.simulate import simulate_packed_batches
 
+    from seekmer_tpu.utils.simulate import simulate_packed_pairs
+
     D = len(jax.devices())
     rng, index, seqs, _ = _world(args.transcripts)
     B, L = args.batch * D, args.read_len
-    codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
     shard_cfg = ShardConfig(data_axis=1, index_axis=D, index_mode="prefix")
     ps = PrefixShardedMapper(index, MapConfig(batch_size=B,
                                               probe_stride=1),
                              shard_cfg, mesh=make_mesh(shard_cfg))
     lengths = np.full(B, L, np.int32)
     w = np.ones(B, np.int32)
-    batches = [ReadBatch(codes[i], lengths, w) for i in range(len(codes))]
+    if args.paired:
+        c1, c2, _ = simulate_packed_pairs(rng, seqs, args.batches + 1, B, L)
+        batches = [ReadBatch(c1[i], lengths, w, codes2=c2[i],
+                             lengths2=lengths) for i in range(len(c1))]
+    else:
+        codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
+        batches = [ReadBatch(codes[i], lengths, w)
+                   for i in range(len(codes))]
     rps = _time_mapper(ps, batches, B)
     _emit("config4_sharded_reads_per_s", rps, "reads/s",
-          {"index_shards": D, "routing_overflow": ps.routing_overflow,
+          {"index_shards": D, "paired": bool(args.paired),
+           "extra_routing_rounds": ps.extra_routing_rounds,
            "platform": jax.devices()[0].platform})
 
 
@@ -268,6 +277,9 @@ def main():
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--paired", action="store_true",
+                    help="config 4: route read PAIRS (mates' windows "
+                         "through one all_to_all dispatch)")
     args = ap.parse_args()
     if args.transcripts is None:
         args.transcripts = {1: 1000, 2: 60000, 3: 1000, 4: 1000, 5: 1000}[

@@ -10,9 +10,11 @@ all_to_all dispatch/return).
 Per device step under shard_map (read batch sharded over BOTH mesh axes,
 index sharded over the `index` axis):
 
-  1. pack local reads' canonical k-mers; owner = top log2(D) hash bits;
+  1. pack local reads' canonical k-mers (both mates' windows concatenated
+     for paired-end); owner = top log2(D) hash bits;
   2. sort lanes by owner, scatter into a (D, K) routing buffer (capacity
-     factor bounds K; overflow lanes are counted, not silently dropped);
+     factor bounds K; lanes ranked past K drain through further rounds —
+     routing is EXACT, capacity only trades memory for latency);
   3. lax.all_to_all along `index` dispatches queries to their owners;
   4. owners probe their local table shard (same low-bit slot hash);
   5. reverse all_to_all returns EC ids; unscatter to original lanes;
@@ -143,7 +145,15 @@ def routed_lookup(hi, lo, valid, sdi: ShardedDeviceIndex, axis: str,
     ``axis``, probe the local shard, return results. Runs inside shard_map;
     the local table block has a leading singleton axis.
 
-    Returns (ecs int32[B, P], n_routing_overflow int32[]).
+    EXACT under capacity pressure: each round routes at most ``capacity``
+    lanes per owner; lanes ranked past the capacity drain through further
+    all_to_all rounds (the residual-rounds pattern of ops/probe's stash
+    path) instead of being dropped. The continue condition is psum-agreed
+    over ``axis`` so every shard executes the same number of collective
+    rounds — a per-shard condition would deadlock the all_to_all.
+
+    Returns (ecs int32[B, P], extra_rounds int32[]) — extra_rounds > 0
+    flags capacity pressure (a latency signal, never a correctness one).
     """
     B, Pp = hi.shape
     N = B * Pp
@@ -166,37 +176,51 @@ def routed_lookup(hi, lo, valid, sdi: ShardedDeviceIndex, axis: str,
     rank = pos - group_start
 
     K = capacity
-    ok = (rank < K) & (owner_s < D)
-    n_overflow = jnp.sum((rank >= K) & (owner_s < D)).astype(jnp.int32)
-
     dump = D * K  # one dump row appended
-    dest = jnp.where(ok, owner_s * K + rank, dump)
-    send_hi = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(hi_s)
-    send_lo = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(lo_s)
-    send_valid = jnp.zeros(D * K + 1, bool).at[dest].set(ok)
-    ret_idx = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(idx_s)
-
     shape = (D, K)
-    q_hi = jax.lax.all_to_all(send_hi[: D * K].reshape(shape), axis, 0, 0,
-                              tiled=True).reshape(D * K)
-    q_lo = jax.lax.all_to_all(send_lo[: D * K].reshape(shape), axis, 0, 0,
-                              tiled=True).reshape(D * K)
-    q_valid = jax.lax.all_to_all(send_valid[: D * K].reshape(shape), axis, 0,
-                                 0, tiled=True).reshape(D * K)
-
-    table = sdi.table[0]  # local shard (leading axis is singleton in shard_map)
+    routable = owner_s < D
+    table = sdi.table[0]  # local shard (leading axis singleton in shard_map)
     stash = sdi.stash[0]
-    ec_q = lookup_ecs(q_hi, q_lo, q_valid, table, sdi.main_slots,
-                      stash, sdi.stash_slots, sdi.bucket)
 
-    ec_back = jax.lax.all_to_all(ec_q.reshape(shape), axis, 0, 0,
-                                 tiled=True).reshape(D * K)
+    def one_round(ecs, base):
+        """Route lanes ranked [base, base+K) per owner; write their ECs."""
+        ok = routable & (rank >= base) & (rank < base + K)
+        dest = jnp.where(ok, owner_s * K + (rank - base), dump)
+        send_hi = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(hi_s)
+        send_lo = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(lo_s)
+        send_valid = jnp.zeros(D * K + 1, bool).at[dest].set(ok)
+        ret_idx = jnp.zeros(D * K + 1, jnp.int32).at[dest].set(idx_s)
 
-    # unscatter to original lane order
-    ecs = jnp.full(N + 1, -1, jnp.int32)
-    src = jnp.where(send_valid[: D * K], ret_idx[: D * K], N)
-    ecs = ecs.at[src].set(ec_back)
-    return ecs[:N].reshape(B, Pp), n_overflow
+        q_hi = jax.lax.all_to_all(send_hi[: D * K].reshape(shape), axis,
+                                  0, 0, tiled=True).reshape(D * K)
+        q_lo = jax.lax.all_to_all(send_lo[: D * K].reshape(shape), axis,
+                                  0, 0, tiled=True).reshape(D * K)
+        q_valid = jax.lax.all_to_all(send_valid[: D * K].reshape(shape),
+                                     axis, 0, 0, tiled=True).reshape(D * K)
+
+        ec_q = lookup_ecs(q_hi, q_lo, q_valid, table, sdi.main_slots,
+                          stash, sdi.stash_slots, sdi.bucket)
+        ec_back = jax.lax.all_to_all(ec_q.reshape(shape), axis, 0, 0,
+                                     tiled=True).reshape(D * K)
+
+        # unscatter this round's lanes to original order
+        src = jnp.where(send_valid[: D * K], ret_idx[: D * K], N)
+        return ecs.at[src].set(ec_back)
+
+    ecs = one_round(jnp.full(N + 1, -1, jnp.int32), jnp.int32(0))
+
+    def cond(state):
+        _, base = state
+        more = jnp.any(routable & (rank >= base)).astype(jnp.int32)
+        return jax.lax.psum(more, axis) > 0
+
+    def body(state):
+        ecs, base = state
+        return one_round(ecs, base), base + jnp.int32(K)
+
+    ecs, end_base = jax.lax.while_loop(cond, body, (ecs, jnp.int32(K)))
+    extra_rounds = (end_base // jnp.int32(K)) - 1
+    return ecs[:N].reshape(B, Pp), extra_rounds
 
 
 class PrefixShardedMapper:
@@ -251,62 +275,75 @@ class PrefixShardedMapper:
             overflow=jax.device_put(jnp.zeros(self.n_dev, jnp.int32), dspec),
         )
         self.total_reads = 0
-        self.routing_overflow = 0
-        self._steps: Dict[int, callable] = {}
+        self.extra_routing_rounds = 0
+        self._pending_rounds: list = []
+        self._steps: Dict[Tuple[int, bool], callable] = {}
 
-    def _get_step(self, bucket: int):
-        if bucket in self._steps:
-            return self._steps[bucket]
+    def _get_step(self, bucket: int, paired: bool):
+        key = (bucket, paired)
+        if key in self._steps:
+            return self._steps[key]
         cfg, shard_cfg, mesh = self.cfg, self.shard_cfg, self.mesh
         iaxis = shard_cfg.index_axis_name
         both = self.both_axes
         B_local = cfg.batch_size // self.n_dev
         Pp = bucket - self.index.k + 1
-        lanes_local = B_local * Pp
+        lanes_local = B_local * Pp * (2 if paired else 1)
         K = int(np.ceil(lanes_local / self.n_index * self.capacity_factor))
         sdi = self.sdi
 
-        def local_step(sdi, table, codes, lengths, weights):
+        def local_step(sdi, table, codes, lengths, weights,
+                       codes2=None, lengths2=None):
             t = SigTable(table.key, table.count, table.sig, table.overflow[0])
             hi, lo, valid = pack_canonical(codes, lengths, sdi.k)
-            ecs, n_over = routed_lookup(hi, lo, valid, sdi, iaxis, K)
+            if codes2 is not None:
+                # paired-end: both mates route through ONE dispatch
+                # (windows concatenated along the position axis, exactly
+                # as the replicated path does, map/driver.py) — union-of-
+                # mates signature semantics [BASELINE.json:8]
+                hi2, lo2, valid2 = pack_canonical(codes2, lengths2, sdi.k)
+                hi = jnp.concatenate([hi, hi2], axis=1)
+                lo = jnp.concatenate([lo, lo2], axis=1)
+                valid = jnp.concatenate([valid, valid2], axis=1)
+            ecs, extra = routed_lookup(hi, lo, valid, sdi, iaxis, K)
             sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
             t = accumulate(t, sig, mapped, weights=weights,
                            sig_probe=cfg.sig_probe)
             return (SigTable(t.key, t.count, t.sig, t.overflow[None]),
-                    n_over[None])
+                    extra[None])
 
         dspec = P(both)
-        rspec = P()
         sdi_spec = ShardedDeviceIndex(
             table=P(iaxis), stash=P(iaxis),
             main_slots=sdi.main_slots, stash_slots=sdi.stash_slots,
             bucket=sdi.bucket, k=sdi.k, n_shards=sdi.n_shards,
         )
         tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
+        n_data = 5 + (2 if paired else 0)
 
         sm = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(sdi_spec, tab_spec, dspec, dspec, dspec),
+            in_specs=(sdi_spec, tab_spec) + (dspec,) * (n_data - 2),
             out_specs=(tab_spec, dspec),
             check_vma=False,
         )
         step = jax.jit(sm, donate_argnums=(1,))
-        self._steps[bucket] = step
+        self._steps[key] = step
         return step
 
     def feed(self, batch: ReadBatch) -> None:
-        if batch.codes2 is not None:
-            raise NotImplementedError(
-                "paired-end + prefix-sharded: feed mates as separate batches")
-        step = self._get_step(batch.bucket)
+        paired = batch.codes2 is not None
+        step = self._get_step(batch.bucket, paired)
         dspec = NamedSharding(self.mesh, P(self.both_axes))
         put = functools.partial(jax.device_put, device=dspec)
-        self.table, n_over = step(self.sdi, self.table, put(batch.codes),
-                                  put(batch.lengths), put(batch.weights))
+        args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
+        if paired:
+            args += [put(batch.codes2), put(batch.lengths2)]
+        self.table, extra = step(self.sdi, self.table, *args)
         self.total_reads += batch.n_real
-        self.routing_overflow += int(np.asarray(n_over).sum())
+        # don't sync per batch: round counters are drained at finalize
+        self._pending_rounds.append(extra)
 
     def run(self, batches: Iterable[ReadBatch]) -> MapResult:
         for b in batches:
@@ -314,9 +351,15 @@ class PrefixShardedMapper:
         return self.finalize()
 
     def finalize(self) -> MapResult:
-        if self.routing_overflow:
-            log.warning("%d k-mer lanes dropped in all_to_all routing "
-                        "(raise capacity_factor)", self.routing_overflow)
+        if self._pending_rounds:
+            self.extra_routing_rounds += int(
+                np.asarray(jnp.stack(self._pending_rounds)).max())
+            self._pending_rounds = []
+        if self.extra_routing_rounds:
+            log.info("all_to_all capacity pressure: up to %d extra routing "
+                     "round(s) per batch (results exact; raise "
+                     "capacity_factor to trade memory for latency)",
+                     self.extra_routing_rounds)
         return merge_sig_rows(np.asarray(self.table.sig),
                               np.asarray(self.table.count),
                               self.total_reads,

@@ -54,16 +54,76 @@ def test_prefix_sharded_matches_single(world, mesh_shape):
     ps = PrefixShardedMapper(index, cfg, shard_cfg, mesh=mesh)
     reads_b = [r.encode() for r in sim.reads1]
     res_ps = ps.run(batch_reads(reads_b, cfg))
-    assert ps.routing_overflow == 0
 
     single = Mapper(index, cfg)
     res_1 = single.run(batch_reads(reads_b, cfg))
 
-    def as_dict(res):
-        return {
-            tuple(r[r != int(SIG_PAD)].tolist()): int(n)
-            for r, n in zip(res.sigs, res.sig_counts)
-        }
-
     assert res_ps.total_reads == res_1.total_reads
-    assert as_dict(res_ps) == as_dict(res_1)
+    assert _as_dict(res_ps) == _as_dict(res_1)
+
+
+def _as_dict(res):
+    return {
+        tuple(r[r != int(SIG_PAD)].tolist()): int(n)
+        for r, n in zip(res.sigs, res.sig_counts)
+    }
+
+
+def test_low_capacity_is_exact(world):
+    """capacity_factor ~0.3 forces residual all_to_all rounds; results
+    must still match the dense mapper exactly (VERDICT round-1 item 4 —
+    routing overflow used to DROP lanes)."""
+    index, sim = world
+    cfg = MapConfig(batch_size=512, sig_table_bits=12)
+    shard_cfg = ShardConfig(data_axis=2, index_axis=4, index_mode="prefix")
+    mesh = make_mesh(shard_cfg)
+    ps = PrefixShardedMapper(index, cfg, shard_cfg, mesh=mesh,
+                             capacity_factor=0.3)
+    reads_b = [r.encode() for r in sim.reads1]
+    res_ps = ps.run(batch_reads(reads_b, cfg))
+    assert ps.extra_routing_rounds > 0, \
+        "fixture did not exercise capacity pressure"
+
+    single = Mapper(index, cfg)
+    res_1 = single.run(batch_reads(reads_b, cfg))
+    assert _as_dict(res_ps) == _as_dict(res_1)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_prefix_sharded_paired_matches_dp(world, mesh_shape):
+    """Paired-end x prefix-sharded (VERDICT round-1 item 3): identical
+    merged signature counts vs the replicated single-chip mapper on the
+    same paired batches."""
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.utils.simulate import simulate_packed_pairs
+
+    index, _ = world
+    rng = np.random.default_rng(99)
+    d_ax, i_ax = mesh_shape
+    B, L = 512, 96
+    # pairs must come from the transcriptome the fixture indexed: rebuild
+    # it with the fixture's seed
+    rng2 = np.random.default_rng(654)
+    _, seqs_idx = random_transcriptome(
+        rng2, num_transcripts=40, min_len=200, max_len=900,
+        shared_prefix_frac=0.5,
+    )
+    c1, c2, _ = simulate_packed_pairs(rng, seqs_idx, 2, B, read_len=L,
+                                      mean_frag=150.0, sd_frag=15.0,
+                                      error_rate=0.005)
+    lengths = np.full(B, L, np.int32)
+    w = np.ones(B, np.int32)
+    batches = [ReadBatch(c1[i], lengths, w, codes2=c2[i], lengths2=lengths)
+               for i in range(2)]
+
+    cfg = MapConfig(batch_size=B, sig_table_bits=12, paired_end=True)
+    shard_cfg = ShardConfig(data_axis=d_ax, index_axis=i_ax,
+                            index_mode="prefix")
+    ps = PrefixShardedMapper(index, cfg, shard_cfg,
+                             mesh=make_mesh(shard_cfg))
+    res_ps = ps.run(iter(batches))
+
+    single = Mapper(index, cfg)
+    res_1 = single.run(iter(batches))
+    assert res_ps.total_reads == res_1.total_reads
+    assert _as_dict(res_ps) == _as_dict(res_1)
