@@ -57,6 +57,10 @@ class ReadBatch:
     # set by utils.prefetch.device_put_batches before weights moves to the
     # device, so n_real never forces a device sync in the feed loop
     n_real_cached: Optional[int] = None
+    # resume cursor valid AFTER this batch is consumed (set only by
+    # CheckpointableBatchSource, at batch boundaries where stream offsets
+    # and pending buffers are consistent); host-only, never device_put
+    cursor: Optional[dict] = None
 
     @property
     def n_real(self) -> int:

@@ -72,16 +72,27 @@ def merge_sig_rows(sig: np.ndarray, count: np.ndarray, total_reads: int,
                    overflow: int) -> "MapResult":
     """Merge raw signature-table rows (possibly from many chips/hosts) into
     a MapResult — the analog of the reference worker pool's join-time dict
-    merge (SURVEY.md 2.1 C6), over distinct signatures."""
+    merge (SURVEY.md 2.1 C6), over distinct signatures.
+
+    Vectorized: one lexsort over the occupied rows + reduceat, no Python
+    per-signature loop (the round-1 dict version measured 2.4 s for the
+    merge alone at 1M signatures; the full vectorized finalize runs
+    merge+resolve in ~1 s — benchmarks/micro_finalize.py)."""
     occ = count > 0
-    merged: Dict[tuple, int] = {}
-    for row, n in zip(sig[occ], count[occ]):
-        key = tuple(row.tolist())
-        merged[key] = merged.get(key, 0) + int(n)
+    rows = np.ascontiguousarray(sig[occ])
+    cnt = count[occ].astype(np.int64)
     C = sig.shape[1]
-    sigs = np.array([list(k) for k in merged], dtype=np.int32).reshape(
-        len(merged), C)
-    counts = np.array(list(merged.values()), dtype=np.int64)
+    if rows.shape[0] == 0:
+        sigs = np.empty((0, C), np.int32)
+        counts = np.empty(0, np.int64)
+    else:
+        order = np.lexsort(rows.T[::-1])
+        rs, cs = rows[order], cnt[order]
+        new = np.ones(rs.shape[0], bool)
+        np.any(rs[1:] != rs[:-1], axis=1, out=new[1:])
+        starts = np.flatnonzero(new)
+        sigs = rs[starts]
+        counts = np.add.reduceat(cs, starts)
     if overflow:
         log.warning("%d mapped reads lost to signature-table overflow; "
                     "increase MapConfig.sig_table_bits", overflow)
@@ -264,26 +275,86 @@ class Mapper:
                          overflow=overflow)
 
 
+def _group_member_lists(flat: np.ndarray, lens: np.ndarray,
+                        counts: np.ndarray):
+    """Group ragged SORTED member lists (CSR: flat values + group lengths)
+    by identical content, summing counts. Returns (member_lists, counts).
+
+    Same order-sensitive 128-bit fingerprint grouping as the index
+    builder's EC construction (index/build.group_equivalence_classes) —
+    collision odds ~G^2/2^128 for G groups. No Python per-group hashing;
+    the only Python loop is np.split's list construction of the output.
+    """
+    from ..index.build import _M1, _M2, _M3, _mix64
+
+    G = lens.size
+    offs = np.zeros(G + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    pos = np.arange(flat.size, dtype=np.int64) - offs[:-1].repeat(lens)
+    t64 = flat.astype(np.uint64)
+    c1 = _mix64(t64 * _M3 + pos.astype(np.uint64))
+    c2 = c1 ^ (c1 >> np.uint64(29)) ^ (t64 << np.uint64(31)) ^ _M2
+    h1 = np.add.reduceat(c1, offs[:-1]) if G else np.empty(0, np.uint64)
+    h2 = np.add.reduceat(c2, offs[:-1]) if G else np.empty(0, np.uint64)
+    gl = lens.astype(np.uint64)
+    h1 = h1 ^ _mix64(gl * _M1)
+    h2 = h2 + _mix64(gl ^ _M2)
+
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    new = np.ones(G, bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    firsts = order[np.flatnonzero(new)]
+    # sum counts per group via sorted segment reduce
+    grp = np.cumsum(new) - 1
+    gcounts = np.zeros(firsts.size, np.float64)
+    np.add.at(gcounts, grp, counts[order])
+    # representative member slice per group
+    member_lists = [
+        flat[offs[i]: offs[i] + lens[i]].astype(np.int32) for i in firsts
+    ]
+    return member_lists, gcounts
+
+
 def resolve_signatures(
     result: MapResult, index: KMerIndex
 ) -> Tuple[List[np.ndarray], np.ndarray, int]:
     """Distinct signatures -> final ECs (distinct transcript intersections).
 
     Returns (member_lists, counts, dropped); dropped = reads whose EC
-    intersection is empty. Host cost scales with #distinct signatures.
+    intersection is empty. Host cost scales with #distinct signatures —
+    and the dominant singleton path (signature IS an index EC) is fully
+    vectorized: unique+bincount over EC ids, one CSR gather of their
+    member slices, fingerprint-grouped with any multi-EC intersections
+    (round 1 looped Python dicts per signature; see
+    benchmarks/micro_finalize.py).
     """
-    agg: Dict[tuple, int] = {}
-    dropped = 0
     pad = np.int32(0x7FFFFFFF)
-    n_ec = (result.sigs != pad).sum(axis=1) if result.sigs.size else np.empty(0, int)
-
-    # fast path: singleton signatures (the vast majority) ARE index ECs
+    sigs, cnts = result.sigs, result.sig_counts
+    if sigs.size == 0:
+        return [], np.empty(0, np.float64), 0
+    n_ec = (sigs != pad).sum(axis=1)
     single = n_ec == 1
-    for ec, n in zip(result.sigs[single, 0], result.sig_counts[single]):
-        key = tuple(index.ec_members(int(ec)).tolist())
-        agg[key] = agg.get(key, 0) + int(n)
+    off = index.ec_offsets.astype(np.int64)
+    tr = index.ec_transcripts
 
-    for row, n in zip(result.sigs[~single], result.sig_counts[~single]):
+    # singleton path: group identical EC ids, gather their member CSR
+    uniq_ec, inv = np.unique(sigs[single, 0], return_inverse=True)
+    ec_counts = np.bincount(inv, weights=cnts[single].astype(np.float64),
+                            minlength=uniq_ec.size)
+    s_start = off[uniq_ec]
+    s_len = off[uniq_ec + 1] - s_start
+    o = np.zeros(uniq_ec.size + 1, np.int64)
+    np.cumsum(s_len, out=o[1:])
+    gather = s_start.repeat(s_len) + (
+        np.arange(int(o[-1]), dtype=np.int64) - o[:-1].repeat(s_len))
+    s_flat = tr[gather].astype(np.int64)
+
+    # multi-EC signatures (rare): per-distinct-signature intersections
+    dropped = 0
+    extra_members: List[np.ndarray] = []
+    extra_counts: List[float] = []
+    for row, n in zip(sigs[~single], cnts[~single]):
         ecs = row[row != pad]
         members = index.ec_members(int(ecs[0]))
         for ec in ecs[1:]:
@@ -295,8 +366,16 @@ def resolve_signatures(
         if members.size == 0:
             dropped += int(n)
             continue
-        key = tuple(members.tolist())
-        agg[key] = agg.get(key, 0) + int(n)
-    member_lists = [np.array(m, dtype=np.int32) for m in agg]
-    counts = np.array(list(agg.values()), dtype=np.float64)
-    return member_lists, counts, dropped
+        extra_members.append(members.astype(np.int64))
+        extra_counts.append(float(n))
+
+    if extra_members:
+        flat = np.concatenate([s_flat] + extra_members)
+        lens = np.concatenate(
+            [s_len, np.fromiter((m.size for m in extra_members), np.int64,
+                                len(extra_members))])
+        counts = np.concatenate([ec_counts, np.asarray(extra_counts)])
+    else:
+        flat, lens, counts = s_flat, s_len, ec_counts
+    member_lists, gcounts = _group_member_lists(flat, lens, counts)
+    return member_lists, gcounts, dropped

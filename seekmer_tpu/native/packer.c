@@ -155,6 +155,29 @@ long seekmer_next(void *h, uint8_t *codes, int32_t *lengths, long max_reads,
   }
 }
 
+/* UNCOMPRESSED byte offset of the next unparsed record: gztell() is the
+ * uncompressed position of the gzFile read pointer, minus the bytes still
+ * buffered (decoded but not yet parsed). Checkpoints store this offset;
+ * resume seeks to it (seekmer_open_at). */
+long seekmer_tell(void *h) {
+  seekmer_reader *r = (seekmer_reader *)h;
+  return (long)gztell(r->gz) - r->len;
+}
+
+/* Open positioned at an uncompressed byte offset. Plain files: one lseek
+ * (no re-read). gzip members: zlib gzseek decompresses-and-discards up to
+ * the offset inside this one call — no Python-side re-decode/re-batch.
+ * Returns NULL on open or seek failure. */
+void *seekmer_open_at(const char *path, long offset) {
+  seekmer_reader *r = (seekmer_reader *)seekmer_open(path);
+  if (!r) return NULL;
+  if (offset > 0 && gzseek(r->gz, (z_off_t)offset, SEEK_SET) != (z_off_t)offset) {
+    seekmer_close(r);
+    return NULL;
+  }
+  return r;
+}
+
 void seekmer_close(void *h) {
   seekmer_reader *r = (seekmer_reader *)h;
   if (!r) return;

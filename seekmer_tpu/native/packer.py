@@ -70,8 +70,21 @@ def get_lib():
     ]
     lib.seekmer_close.restype = None
     lib.seekmer_close.argtypes = [ctypes.c_void_p]
+    lib.seekmer_tell.restype = ctypes.c_long
+    lib.seekmer_tell.argtypes = [ctypes.c_void_p]
+    lib.seekmer_open_at.restype = ctypes.c_void_p
+    lib.seekmer_open_at.argtypes = [ctypes.c_char_p, ctypes.c_long]
     _lib = lib
     return _lib
+
+
+def _require_lib():
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "native FASTQ packer unavailable (no working C toolchain); "
+            "use the pure-Python reader path (io/fastq.batch_reads)")
+    return lib
 
 
 def pack_chunk(buf: bytes, max_reads: int, max_len: int):
@@ -80,8 +93,7 @@ def pack_chunk(buf: bytes, max_reads: int, max_len: int):
     Returns (codes uint8[n, max_len], lengths int32[n], consumed_bytes).
     Raises ValueError on malformed input.
     """
-    lib = get_lib()
-    assert lib is not None
+    lib = _require_lib()
     codes = np.empty((max_reads, max_len), dtype=np.uint8)
     lengths = np.empty(max_reads, dtype=np.int32)
     consumed = ctypes.c_long(0)
@@ -104,27 +116,64 @@ def stream_packed(path: str, max_len: int, chunk_reads: int = 16384
     happen inside ONE ctypes call per chunk, with the GIL released — this
     is what makes io_workers-threaded multi-file ingest scale (the Python
     gzip.read loop's per-chunk glue capped 4-thread decode at ~1.3x)."""
-    lib = get_lib()
-    assert lib is not None
-    h = lib.seekmer_open(os.fsencode(path))
-    if not h:
-        raise OSError(f"cannot open FASTQ file: {path}")
-    try:
+    with PackedFileStream(path, max_len) as s:
         while True:
-            codes = np.empty((chunk_reads, max_len), dtype=np.uint8)
-            lengths = np.empty(chunk_reads, dtype=np.int32)
-            n = lib.seekmer_next(
-                h,
-                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                chunk_reads, max_len,
-            )
-            if n == 0:
+            chunk = s.next_chunk(chunk_reads)
+            if chunk is None:
                 return
-            if n == -1:
-                raise ValueError(f"malformed FASTQ input in {path}")
-            if n < 0:
-                raise OSError(f"I/O error reading {path}")
-            yield codes[:n], lengths[:n]
-    finally:
-        lib.seekmer_close(h)
+            yield chunk
+
+
+class PackedFileStream:
+    """The C streaming reader as an object: ``next_chunk`` + ``tell``.
+
+    ``tell()`` is the UNCOMPRESSED byte offset of the next unparsed
+    record; ``start_offset`` reopens there (plain files: one lseek, no
+    re-read; .gz: zlib decompress-and-discard inside one C call) — the
+    checkpoint/resume cursor (utils/checkpoint, SURVEY.md 5.3).
+    """
+
+    def __init__(self, path: str, max_len: int, start_offset: int = 0):
+        self._lib = _require_lib()
+        self.path = path
+        self.max_len = max_len
+        if start_offset:
+            self._h = self._lib.seekmer_open_at(os.fsencode(path),
+                                                start_offset)
+        else:
+            self._h = self._lib.seekmer_open(os.fsencode(path))
+        if not self._h:
+            raise OSError(f"cannot open FASTQ file at offset "
+                          f"{start_offset}: {path}")
+
+    def next_chunk(self, max_reads: int):
+        """(codes uint8[n, max_len], lengths int32[n]) or None at EOF."""
+        codes = np.empty((max_reads, self.max_len), dtype=np.uint8)
+        lengths = np.empty(max_reads, dtype=np.int32)
+        n = self._lib.seekmer_next(
+            self._h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_reads, self.max_len,
+        )
+        if n == 0:
+            return None
+        if n == -1:
+            raise ValueError(f"malformed FASTQ input in {self.path}")
+        if n < 0:
+            raise OSError(f"I/O error reading {self.path}")
+        return codes[:n], lengths[:n]
+
+    def tell(self) -> int:
+        return int(self._lib.seekmer_tell(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.seekmer_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -14,7 +14,7 @@ this subsystem has no reference counterpart by design.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,14 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import EMConfig, ShardConfig
-from ..em.em import ECTable, effective_lengths, run_blocked_fixed_point
+from ..em.em import (
+    ECTable,
+    _block_body,
+    _chunked_fixed_point,
+    _use_chunked,
+    effective_lengths,
+    run_blocked_fixed_point,
+)
 
 
 def shard_ec_table(ec: ECTable, n_shards: int) -> ECTable:
@@ -46,9 +53,19 @@ def run_em_collective(
     cfg: EMConfig,
     mesh: Mesh,
     shard_cfg: ShardConfig = ShardConfig(),
+    chunked: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM to convergence with the membership axis sharded over the mesh's
-    data axis. Returns (alpha float[T], iterations)."""
+    data axis. Returns (alpha float[T], iterations).
+
+    ``chunked`` = None picks automatically: runs whose worst-case device
+    time could hit this platform's ~90 s single-execution crash
+    (em.em._MAX_EXEC_S) are driven from the host as bounded per-block
+    shard_map executions — the same _chunked_fixed_point machinery as the
+    single-chip CSR EM, with identical state semantics (post-convergence
+    blocks are the identity). A GENCODE-scale pod EM to tolerance would
+    otherwise run one unbounded convergence-checked while_loop.
+    """
     axis = shard_cfg.data_axis_name
     n_shards = mesh.shape[axis]
     ec = shard_ec_table(ec, n_shards)
@@ -58,11 +75,7 @@ def run_em_collective(
     nnz_spec = P(axis)
     rep = P()
 
-    def em_collective(counts, ec_ids, txp_ids, lengths):
-        eff = effective_lengths(lengths, cfg, dtype)
-        N = counts.sum()
-        alpha0 = jnp.full((T,), N / T, dtype=dtype)
-
+    def make_one_iter(counts, ec_ids, txp_ids, eff):
         def one_iter(alpha):
             w = alpha[txp_ids] / eff[txp_ids]
             denom_part = jax.ops.segment_sum(w, ec_ids, num_segments=E)
@@ -72,15 +85,51 @@ def run_em_collective(
             part = jax.ops.segment_sum(r, txp_ids, num_segments=T)
             return jax.lax.psum(part, axis)
 
-        it, _, alpha = run_blocked_fixed_point(one_iter, alpha0, cfg)
-        return alpha, it
+        return one_iter
+
+    if chunked is None:
+        # per-device iteration time scales with the LOCAL nnz shard
+        chunked = _use_chunked(
+            int(ec.txp_ids.shape[0]) // max(n_shards, 1), cfg)
+
+    if not chunked:
+        def em_collective(counts, ec_ids, txp_ids, lengths):
+            eff = effective_lengths(lengths, cfg, dtype)
+            N = counts.sum()
+            alpha0 = jnp.full((T,), N / T, dtype=dtype)
+            it, _, alpha = run_blocked_fixed_point(
+                make_one_iter(counts, ec_ids, txp_ids, eff), alpha0, cfg)
+            return alpha, it
+
+        sm = jax.shard_map(
+            em_collective,
+            mesh=mesh,
+            in_specs=(rep, nnz_spec, nnz_spec, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+        fn = jax.jit(sm)
+        return fn(ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths))
+
+    # chunked: one blocked round per XLA execution, driven from the host
+    def em_block(counts, ec_ids, txp_ids, eff, it, conv, alpha):
+        return _block_body(make_one_iter(counts, ec_ids, txp_ids, eff),
+                           cfg)((it, conv, alpha))
 
     sm = jax.shard_map(
-        em_collective,
+        em_block,
         mesh=mesh,
-        in_specs=(rep, nnz_spec, nnz_spec, rep),
-        out_specs=(rep, rep),
+        in_specs=(rep, nnz_spec, nnz_spec, rep) + (rep,) * 3,
+        out_specs=(rep,) * 3,
         check_vma=False,
     )
-    fn = jax.jit(sm)
-    return fn(ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths))
+    blk = jax.jit(sm, donate_argnums=(4, 5, 6))
+
+    eff = effective_lengths(jnp.asarray(lengths), cfg, dtype)
+    N = ec.counts.sum()
+    alpha0 = jnp.full((T,), N / T, dtype=dtype)
+    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
+    state, it_v = _chunked_fixed_point(
+        lambda s: blk(ec.counts, ec.ec_ids, ec.txp_ids, eff, *s),
+        state0, cfg)
+    return state[2], jnp.int32(it_v)
