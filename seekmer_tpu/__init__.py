@@ -40,7 +40,15 @@ def _enable_compilation_cache() -> None:
                 ("".join(sorted(set(stable))) + platform.machine())
                 .encode()).hexdigest()[:10]
         except OSError:
-            fp = "nohost"
+            # no /proc/cpuinfo (e.g. macOS): derive the fingerprint from
+            # the platform identifiers so different CPU types still get
+            # distinct cache dirs (a constant here would re-open the
+            # stale-AOT-cache SIGILL hazard across machine types)
+            import platform
+
+            fp = hashlib.sha1(
+                (platform.machine() + platform.processor()
+                 + platform.system()).encode()).hexdigest()[:10]
         path = os.environ.get(
             "SEEKMER_JAX_CACHE",
             os.path.expanduser(f"~/.cache/seekmer_tpu_jax_{fp}"),

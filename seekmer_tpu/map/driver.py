@@ -233,27 +233,25 @@ class Mapper:
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 50) -> "MapResult":
         """Feed all batches; optionally checkpoint the signature table +
-        read cursor every N batches (SURVEY.md 5.3: batch-granular
-        restart)."""
-        n = 0
-        for batch in batches:
-            self.feed(batch)
-            n += 1
-            if checkpoint_path and n % checkpoint_every == 0:
-                self.save_checkpoint(checkpoint_path)
-        if checkpoint_path:
-            self.save_checkpoint(checkpoint_path)
-        return self.finalize()
+        resume cursor every N batches (SURVEY.md 5.3: batch-granular
+        restart). Saves happen at the next CURSOR-BEARING batch after
+        each interval — CheckpointableBatchSource attaches cursors only
+        at batch boundaries where stream offsets and pending buffers are
+        consistent."""
+        return _run_with_checkpoints(self, batches, checkpoint_path,
+                                     checkpoint_every)
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str,
+                        stream_state: Optional[dict] = None) -> None:
         from ..utils.checkpoint import save_map_checkpoint
 
         save_map_checkpoint(path, self.table, self.total_reads,
-                            {"reads_consumed": self.total_reads})
+                            stream_state)
 
     def restore_checkpoint(self, path: str) -> Optional[dict]:
-        """Restore table + counters; returns the stream cursor (how many
-        reads to skip on re-feed) or None if no checkpoint exists."""
+        """Restore table + counters; returns the stream resume cursor
+        (CheckpointableBatchSource.restore input; None also when the
+        checkpoint carries no cursor) or None if no checkpoint exists."""
         from ..utils.checkpoint import load_map_checkpoint
 
         loaded = load_map_checkpoint(path)
@@ -314,6 +312,31 @@ def _group_member_lists(flat: np.ndarray, lens: np.ndarray,
         flat[offs[i]: offs[i] + lens[i]].astype(np.int32) for i in firsts
     ]
     return member_lists, gcounts
+
+
+def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
+                          checkpoint_path: Optional[str],
+                          checkpoint_every: int) -> "MapResult":
+    """Shared feed loop with cursor-aware checkpointing (Mapper and
+    DataParallelMapper). A save becomes DUE every checkpoint_every batches
+    and happens at the next batch carrying a resume cursor."""
+    n = 0
+    due = False
+    last_cursor = None
+    for batch in batches:
+        mapper.feed(batch)
+        n += 1
+        cur = getattr(batch, "cursor", None)
+        if cur is not None:
+            last_cursor = cur
+        if checkpoint_path:
+            due = due or (n % checkpoint_every == 0)
+            if due and cur is not None:
+                mapper.save_checkpoint(checkpoint_path, stream_state=cur)
+                due = False
+    if checkpoint_path:
+        mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
+    return mapper.finalize()
 
 
 def resolve_signatures(

@@ -17,7 +17,7 @@ from ..config import PipelineConfig
 from ..em import bootstrap as em_bootstrap
 from ..em.em import build_ec_table, run_em, tpm_from_alpha, effective_lengths
 from ..index.store import KMerIndex
-from ..io.fastq import ReadBatch, batch_read_pairs, batch_reads, read_fastq_many
+from ..io.fastq import ReadBatch, batch_read_pairs, batch_reads
 from ..map.driver import Mapper, MapResult, resolve_signatures
 
 log = logging.getLogger(__name__)
@@ -60,45 +60,39 @@ class Quantifier:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 50,
     ) -> QuantResult:
-        skip = 0
         mapper = self._make_mapper()
         map_cfg = self.cfg.map
-        if checkpoint_path:
-            # the checkpoint cursor counts reads in stream order, which is
-            # only reproducible under serial (single-worker) ingest
-            if map_cfg.io_workers != 1:
-                map_cfg = dataclasses.replace(map_cfg, io_workers=1)
-            if isinstance(mapper, Mapper):
-                state = mapper.restore_checkpoint(checkpoint_path)
-                if state:
-                    skip = state["reads_consumed"]
-                    log.info("resuming from checkpoint: %d reads already "
-                             "mapped", skip)
+        if checkpoint_path and hasattr(mapper, "restore_checkpoint"):
+            # offset-cursor batching: resume seeks the input files instead
+            # of re-decoding them (io/fastq.CheckpointableBatchSource)
+            from ..io.fastq import CheckpointableBatchSource
 
-        if mate_paths:
-            if skip:
-                import itertools
-
-                pairs = zip(
-                    read_fastq_many(fastq_paths), read_fastq_many(mate_paths)
-                )
-                pairs = itertools.islice(pairs, skip, None)
-                batches = batch_read_pairs(pairs, map_cfg)
-            else:
+            source = CheckpointableBatchSource(fastq_paths, mate_paths,
+                                               map_cfg)
+            state = mapper.restore_checkpoint(checkpoint_path)
+            if state:
+                source.restore(state)
+                log.info("resuming from checkpoint: %d reads already "
+                         "mapped", mapper.total_reads)
+            elif state is not None:
+                # file exists but carries no cursor: cannot resume safely
+                log.warning("checkpoint %s has no stream cursor; starting "
+                            "fresh", checkpoint_path)
+                mapper = self._make_mapper()
+            batches = iter(source)
+        else:
+            if checkpoint_path:
+                log.warning("checkpointing is not supported in this shard "
+                            "mode; ignoring --checkpoint")
+                checkpoint_path = None
+            if mate_paths:
                 from ..io.fastq import batch_read_pairs_native
 
                 batches = batch_read_pairs_native(
                     fastq_paths, mate_paths, map_cfg)
-        else:
-            from ..io.fastq import batch_reads_native
-
-            if skip:
-                import itertools
-
-                reads = itertools.islice(
-                    read_fastq_many(fastq_paths), skip, None)
-                batches = batch_reads(reads, map_cfg)
             else:
+                from ..io.fastq import batch_reads_native
+
                 batches = batch_reads_native(fastq_paths, map_cfg)
         return self.quantify_batches(batches, mapper=mapper,
                                      checkpoint_path=checkpoint_path,
@@ -154,11 +148,11 @@ class Quantifier:
             log.info("FLD estimation skipped: no replicated device index "
                      "in this shard mode (prefix-sharded); using the "
                      "configured fragment-length model")
-        if checkpoint_path and not isinstance(mapper, Mapper):
-            log.warning("checkpointing is only supported single-chip; "
+        if checkpoint_path and not hasattr(mapper, "save_checkpoint"):
+            log.warning("checkpointing is not supported for this mapper; "
                         "ignoring --checkpoint")
             checkpoint_path = None
-        if isinstance(mapper, Mapper):
+        if checkpoint_path:
             result = mapper.run(batches, checkpoint_path=checkpoint_path,
                                 checkpoint_every=checkpoint_every)
         else:

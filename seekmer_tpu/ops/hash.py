@@ -21,23 +21,31 @@ _SIG_SEED2 = np.uint32(0x8F1BBCDC)
 
 
 def mix32(h):
-    """murmur3 finalizer; works on numpy or jax uint32 arrays."""
-    h = h ^ (h >> 16)
-    h = h * _C1
-    h = h ^ (h >> 13)
-    h = h * _C2
-    h = h ^ (h >> 16)
-    return h
+    """murmur3 finalizer; works on numpy or jax uint32 arrays.
+
+    uint32 wraparound is the DEFINED behavior of every multiply/add here;
+    np.errstate silences numpy's overflow RuntimeWarning for scalar/array
+    inputs (jax arrays never emit it; the context manager is a no-op for
+    them)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> 16)
+        h = h * _C1
+        h = h ^ (h >> 13)
+        h = h * _C2
+        h = h ^ (h >> 16)
+        return h
 
 
 def hash_kmer(hi, lo):
     """Main-table slot hash of a (hi, lo) k-mer key. uint32 in/out."""
-    return mix32(hi ^ mix32(lo + _GOLDEN))
+    with np.errstate(over="ignore"):
+        return mix32(hi ^ mix32(lo + _GOLDEN))
 
 
 def hash_kmer_stash(hi, lo):
     """Independent hash for the stash table."""
-    return mix32(lo ^ mix32(hi + _STASH_SALT))
+    with np.errstate(over="ignore"):
+        return mix32(lo ^ mix32(hi + _STASH_SALT))
 
 
 def sig_fingerprint_init():
@@ -48,11 +56,13 @@ def sig_fingerprint_init():
 def sig_fingerprint_step(h1, h2, ec_id_u32):
     """Fold one EC id (uint32; padding sentinel folded like any value) into
     the running 64-bit (h1, h2) signature fingerprint."""
-    h1 = mix32(h1 ^ ec_id_u32)
-    h2 = mix32(h2 + ec_id_u32 * _GOLDEN)
-    return h1, h2
+    with np.errstate(over="ignore"):
+        h1 = mix32(h1 ^ ec_id_u32)
+        h2 = mix32(h2 + ec_id_u32 * _GOLDEN)
+        return h1, h2
 
 
 def sig_slot_hash(h1, h2):
     """Slot hash for the device signature count table."""
-    return mix32(h1 ^ (h2 * _C2))
+    with np.errstate(over="ignore"):
+        return mix32(h1 ^ (h2 * _C2))

@@ -147,10 +147,50 @@ class DataParallelMapper:
         self.table = step(self.device_index, self.table, *args)
         self.total_reads += batch.n_real
 
-    def run(self, batches: Iterable[ReadBatch]) -> MapResult:
-        for b in batches:
-            self.feed(b)
-        return self.finalize()
+    def run(self, batches: Iterable[ReadBatch],
+            checkpoint_path: str = None,
+            checkpoint_every: int = 50) -> MapResult:
+        from ..map.driver import _run_with_checkpoints
+
+        return _run_with_checkpoints(self, batches, checkpoint_path,
+                                     checkpoint_every)
+
+    def save_checkpoint(self, path: str, stream_state=None) -> None:
+        """Checkpoint the SHARDED signature table (global array pulled to
+        host) + resume cursor. Multi-chip, single-process (SURVEY.md 5.3;
+        multi-process runs would need per-host cursors — unsupported)."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process checkpointing requires per-host stream "
+                "cursors; run checkpointed jobs single-process")
+        from ..utils.checkpoint import save_map_checkpoint
+
+        host = SigTable(*(np.asarray(x) for x in self.table))
+        save_map_checkpoint(path, host, self.total_reads, stream_state)
+
+    def restore_checkpoint(self, path: str):
+        """Restore the sharded table (re-placed with this mapper's data
+        sharding); returns the stream cursor, or None if no checkpoint."""
+        from ..utils.checkpoint import load_map_checkpoint
+
+        loaded = load_map_checkpoint(path)
+        if loaded is None:
+            return None
+        table, total_reads, stream_state = loaded
+        if np.asarray(table.count).shape != np.asarray(self.table.count).shape:
+            raise ValueError(
+                "checkpoint table shape does not match this mapper's mesh/"
+                "sig_table_bits configuration")
+        data = _shard_spec(self.mesh, self.shard_cfg,
+                           self.shard_cfg.data_axis_name)
+        self.table = SigTable(
+            key=jax.device_put(np.asarray(table.key), data),
+            count=jax.device_put(np.asarray(table.count), data),
+            sig=jax.device_put(np.asarray(table.sig), data),
+            overflow=jax.device_put(np.asarray(table.overflow), data),
+        )
+        self.total_reads = total_reads
+        return stream_state
 
     def _host(self, x) -> np.ndarray:
         if jax.process_count() > 1:

@@ -3,9 +3,10 @@
 The reference's only checkpoint is the index file itself (build once, reuse;
 a crashed run is simply re-run). For long TPU mapping runs we add:
 
-  * mapping checkpoints: the device signature table + read-stream cursor
-    (file index / reads consumed) written every N batches; resume skips
-    already-counted reads and restores the table;
+  * mapping checkpoints: the (possibly mesh-sharded) signature table + the
+    read-stream resume cursor — per-file uncompressed byte offsets plus the
+    pending partial-bucket buffers (io/fastq.CheckpointableBatchSource) —
+    written every N batches; resume seeks instead of re-decoding;
   * EM snapshots: the alpha vector + iteration counter (EM is cheap, but
     the snapshot makes the pipeline restartable at every stage boundary).
 
@@ -20,20 +21,34 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-# 2: SigTable.key became bucketized (S/KB+1, KB, 2); format-1 checkpoints
-# would otherwise load "successfully" and crash accumulate at trace time.
-FORMAT = 2
+# 2: SigTable.key became bucketized (S/KB+1, KB, 2).
+# 3: stream cursor became offset-based (file idx + byte offset + pending
+#    partial-bucket buffers) — the format-2 reads_consumed cursor has no
+#    offset to seek to, so old checkpoints are rejected.
+FORMAT = 3
 
 
 def save_map_checkpoint(
     path: str,
     table,
     total_reads: int,
-    stream_state: dict,
+    stream_state: Optional[dict],
 ) -> None:
-    """Write the signature-table state + stream cursor atomically."""
+    """Write the signature-table state + resume cursor atomically.
+
+    ``stream_state`` is a CheckpointableBatchSource cursor (or None);
+    its pending buffers are stored as first-class npz arrays
+    (allow_pickle stays False)."""
+    cursor_meta = None
+    arrays = {}
+    if stream_state is not None:
+        cursor_meta = {k: stream_state[k] for k in ("v", "paired", "s1", "s2")}
+        cursor_meta["buckets"] = sorted(stream_state["pending"])
+        for bucket, d in stream_state["pending"].items():
+            for name, arr in d.items():
+                arrays[f"pend_{bucket}_{name}"] = arr
     meta = dict(format=FORMAT, total_reads=int(total_reads),
-                stream_state=stream_state)
+                cursor=cursor_meta)
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as fh:
         np.savez_compressed(
@@ -43,12 +58,15 @@ def save_map_checkpoint(
             count=np.asarray(table.count),
             sig=np.asarray(table.sig),
             overflow=np.asarray(table.overflow),
+            **arrays,
         )
     os.replace(tmp, path)
 
 
-def load_map_checkpoint(path: str) -> Optional[Tuple[object, int, dict]]:
-    """Returns (SigTable, total_reads, stream_state) or None if absent."""
+def load_map_checkpoint(
+    path: str,
+) -> Optional[Tuple[object, int, Optional[dict]]]:
+    """Returns (SigTable, total_reads, cursor) or None if absent."""
     from ..map.signature import SigTable
 
     if not os.path.exists(path):
@@ -65,7 +83,19 @@ def load_map_checkpoint(path: str) -> Optional[Tuple[object, int, dict]]:
             sig=jnp.asarray(z["sig"]),
             overflow=jnp.asarray(z["overflow"]),
         )
-        return table, meta["total_reads"], meta["stream_state"]
+        cm = meta["cursor"]
+        cursor = None
+        if cm is not None:
+            pending = {}
+            for bucket in cm["buckets"]:
+                pending[int(bucket)] = {
+                    name: z[f"pend_{bucket}_{name}"]
+                    for name in ("c1", "l1", "c2", "l2")
+                    if f"pend_{bucket}_{name}" in z.files
+                }
+            cursor = {"v": cm["v"], "paired": cm["paired"], "s1": cm["s1"],
+                      "s2": cm["s2"], "pending": pending}
+        return table, meta["total_reads"], cursor
 
 
 def save_em_snapshot(path: str, alpha: np.ndarray, iteration: int) -> None:

@@ -32,29 +32,164 @@ def _as_dict(res):
             for r, n in zip(res.sigs, res.sig_counts)}
 
 
-def test_map_checkpoint_resume(tmp_path, world):
+def _write_fastq_plain(path, reads):
+    with open(path, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+
+
+def test_map_checkpoint_resume_offsets(tmp_path, world):
+    """Offset-cursor resume: interrupt after a checkpoint, CORRUPT the
+    already-consumed file prefix, resume — identical result proves the
+    consumed bytes are never re-read (plain files seek; VERDICT round-1
+    item 7)."""
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
     index, reads = world
     cfg = MapConfig(batch_size=128, sig_table_bits=12)
+    fq = str(tmp_path / "reads.fq")
+    _write_fastq_plain(fq, reads)
     ckpt = str(tmp_path / "map.ckpt.npz")
 
     # uninterrupted baseline
-    full = Mapper(index, cfg).run(batch_reads(reads, cfg))
+    full = Mapper(index, cfg).run(iter(
+        CheckpointableBatchSource([fq], cfg=cfg)))
 
-    # interrupted: process only the first 2 batches, checkpoint, "crash"
+    # interrupted: feed 2 batches, checkpoint at a cursor-bearing batch.
+    # small decode chunks keep the cursor mid-file so the corruption
+    # check below is meaningful.
     m1 = Mapper(index, cfg)
-    batches = list(batch_reads(reads, cfg))
-    for b in batches[:2]:
+    src_obj = CheckpointableBatchSource([fq], cfg=cfg)
+    src_obj.CHUNK = 256
+    src = iter(src_obj)
+    saved = None
+    for n, b in enumerate(src, 1):
         m1.feed(b)
-    m1.save_checkpoint(ckpt)
-    consumed = m1.total_reads
+        if n >= 2 and b.cursor is not None:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            saved = b.cursor
+            break
+    assert saved is not None
 
-    # resume in a fresh mapper: skip consumed reads, feed the rest
+    # corrupt every byte strictly BEFORE the saved offset: a resume that
+    # re-reads any consumed input would now see garbage
+    off = saved["s1"][1]
+    assert off > 0
+    with open(fq, "r+b") as fh:
+        fh.write(b"X" * off)
+
     m2 = Mapper(index, cfg)
+    src2 = CheckpointableBatchSource([fq], cfg=cfg)
     state = m2.restore_checkpoint(ckpt)
-    assert state == {"reads_consumed": consumed}
-    rest = reads[consumed:]
-    res = m2.run(batch_reads(rest, cfg))
+    assert state is not None and state["s1"] == saved["s1"]
+    src2.restore(state)
+    res = m2.run(iter(src2))
 
+    assert res.total_reads == full.total_reads
+    assert _as_dict(res) == _as_dict(full)
+
+
+def test_paired_checkpoint_resume(tmp_path, world):
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+    from seekmer_tpu.utils.simulate import simulate_reads
+
+    index, _ = world
+    rng = np.random.default_rng(42)
+    _, seqs = random_transcriptome(rng, num_transcripts=30,
+                                   shared_prefix_frac=0.5)
+    sim = simulate_reads(rng, seqs, num_reads=500, read_len=100,
+                         paired=True, mean_frag=180.0, sd_frag=15.0)
+    fq1, fq2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    _write_fastq_plain(fq1, [r.encode() for r in sim.reads1])
+    _write_fastq_plain(fq2, [r.encode() for r in sim.reads2])
+    cfg = MapConfig(batch_size=128, sig_table_bits=12, paired_end=True)
+    ckpt = str(tmp_path / "pmap.ckpt.npz")
+
+    full = Mapper(index, cfg).run(iter(
+        CheckpointableBatchSource([fq1], [fq2], cfg)))
+
+    m1 = Mapper(index, cfg)
+    for n, b in enumerate(iter(CheckpointableBatchSource([fq1], [fq2],
+                                                         cfg)), 1):
+        m1.feed(b)
+        if b.cursor is not None:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            break
+
+    m2 = Mapper(index, cfg)
+    src2 = CheckpointableBatchSource([fq1], [fq2], cfg)
+    state = m2.restore_checkpoint(ckpt)
+    assert state["paired"] is True
+    src2.restore(state)
+    res = m2.run(iter(src2))
+    assert res.total_reads == full.total_reads == 500
+    assert _as_dict(res) == _as_dict(full)
+
+
+def test_dp_mapper_checkpoint_resume(tmp_path, world):
+    """Multi-chip checkpoint/resume on the fake mesh (VERDICT round-1
+    item 7: 'allgather + save the sharded SigTable for the DP mapper')."""
+    from seekmer_tpu.config import ShardConfig
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+    from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+    from seekmer_tpu.parallel.mesh import make_mesh
+
+    index, reads = world
+    cfg = MapConfig(batch_size=128, sig_table_bits=12)
+    shard_cfg = ShardConfig(data_axis=8)
+    mesh = make_mesh(shard_cfg)
+    fq = str(tmp_path / "reads.fq")
+    _write_fastq_plain(fq, reads)
+    ckpt = str(tmp_path / "dp.ckpt.npz")
+
+    full = DataParallelMapper(index, cfg, shard_cfg, mesh=mesh).run(
+        iter(CheckpointableBatchSource([fq], cfg=cfg)))
+
+    m1 = DataParallelMapper(index, cfg, shard_cfg, mesh=mesh)
+    for b in iter(CheckpointableBatchSource([fq], cfg=cfg)):
+        m1.feed(b)
+        if b.cursor is not None:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            break
+
+    m2 = DataParallelMapper(index, cfg, shard_cfg, mesh=mesh)
+    src2 = CheckpointableBatchSource([fq], cfg=cfg)
+    state = m2.restore_checkpoint(ckpt)
+    assert state is not None
+    src2.restore(state)
+    res = m2.run(iter(src2))
+    assert res.total_reads == full.total_reads
+    assert _as_dict(res) == _as_dict(full)
+
+
+def test_gz_offset_resume(tmp_path, world):
+    """.gz inputs resume through the C reader's in-library seek."""
+    import gzip
+
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    index, reads = world
+    cfg = MapConfig(batch_size=128, sig_table_bits=12)
+    fq = str(tmp_path / "reads.fq.gz")
+    with gzip.open(fq, "wt") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+    ckpt = str(tmp_path / "gz.ckpt.npz")
+
+    full = Mapper(index, cfg).run(iter(
+        CheckpointableBatchSource([fq], cfg=cfg)))
+
+    m1 = Mapper(index, cfg)
+    for b in iter(CheckpointableBatchSource([fq], cfg=cfg)):
+        m1.feed(b)
+        if b.cursor is not None:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            break
+
+    m2 = Mapper(index, cfg)
+    src2 = CheckpointableBatchSource([fq], cfg=cfg)
+    src2.restore(m2.restore_checkpoint(ckpt))
+    res = m2.run(iter(src2))
     assert res.total_reads == full.total_reads
     assert _as_dict(res) == _as_dict(full)
 
@@ -99,7 +234,7 @@ def test_old_format_checkpoint_rejected(tmp_path):
     from seekmer_tpu.utils import checkpoint as cp
 
     path = str(tmp_path / "old.ckpt")
-    meta = dict(format=1, total_reads=5, stream_state={})
+    meta = dict(format=2, total_reads=5, stream_state={})
     with open(path, "wb") as fh:
         np.savez_compressed(
             fh,
