@@ -127,3 +127,20 @@ def test_estimate_none_for_single_end(setup):
                          weights=np.ones(B, np.int32))]
     res = q.quantify_batches(iter(batches))
     assert res.fld_mean is None
+
+
+def test_fld_with_data_parallel_mapper(setup):
+    """FLD estimation composes with the DP mapper's replicated device
+    index (mixed shardings: mesh-replicated table + uncommitted batch)."""
+    index, _, c1, c2 = setup
+    from seekmer_tpu.config import PipelineConfig, ShardConfig
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    cfg = PipelineConfig().replace(
+        map=MapConfig(batch_size=2048, sig_table_bits=14, paired_end=True),
+        em=EMConfig(estimate_fld=True),
+        shard=ShardConfig(data_axis=8))
+    q = Quantifier(index, cfg)
+    res = q.quantify_batches(iter(_batches(c1, c2)))
+    assert res.fld_mean is not None
+    assert abs(res.fld_mean - MEAN) < 10.0
