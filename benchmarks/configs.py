@@ -108,22 +108,28 @@ def _upload(batches):
     return out
 
 
-def _time_mapper(mapper, batches, n_reads):
+def _time_mapper(mapper, batches, n_reads, windows: int = 3):
+    """Best-of-k timed windows, each ended with a real value readback —
+    the same hardening as bench.py (a single window sampled during one of
+    this tunnel's transient slowdowns records garbage;
+    docs/PERFORMANCE.md)."""
     import jax
     import numpy as np_
 
     batches = _upload(batches)
     first = batches[0]
     mapper.feed(first)
-    jax.block_until_ready(mapper.table)
-    t0 = time.perf_counter()
-    for b in batches[1:]:
-        mapper.feed(b)
-    # end with a real value readback: block_until_ready alone has measured
-    # returning early on this remote-tunneled platform (docs/PERFORMANCE.md)
     np_.asarray(jax.tree_util.tree_leaves(mapper.table)[0].reshape(-1)[:8])
-    dt = time.perf_counter() - t0
-    return (len(batches) - 1) * n_reads / dt
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for b in batches[1:]:
+            mapper.feed(b)
+        np_.asarray(
+            jax.tree_util.tree_leaves(mapper.table)[0].reshape(-1)[:8])
+        dt = time.perf_counter() - t0
+        best = max(best, (len(batches) - 1) * n_reads / dt)
+    return best
 
 
 def config1(args):

@@ -197,11 +197,26 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
     resolved = active0 & ~active
     add_slot = jnp.where(resolved, res_slot, dump)
     count = table.count.at[add_slot].add(jnp.where(resolved, w, 0))
-    sigtab = table.sig.at[jnp.where(won_any, res_slot, dump)].set(sig)
-    lost = jnp.where(active, w, 0).sum().astype(jnp.int32)
-    # Scrub any junk scattered into the dump bucket/row.
-    key = key.at[dump_b].set(jnp.zeros((KB, 2), jnp.int32))
+
+    # The winning-signature row scatter (and the dump-bucket key scrub it
+    # necessitates) only matters in batches that CLAIMED a new slot; in
+    # steady state (every signature already tabled) gating it saves a
+    # B-row scatter per batch — measured 6.9 -> 3.7 ms steady-state
+    # accumulate at B=64k, bits=20 (back-to-back A/B, 2026-08-20). Claim
+    # batches where every claimant LOSES leave junk in the dump key
+    # bucket unscrubbed, which is harmless: the probe cursor is always
+    # < NBK, so the dump bucket is never gathered, and the dump COUNT
+    # row (which table_to_host does consult) is scrubbed every batch.
+    def write_rows(ops):
+        key, sigtab = ops
+        sigtab = sigtab.at[jnp.where(won_any, res_slot, dump)].set(sig)
+        key = key.at[dump_b].set(jnp.zeros((KB, 2), jnp.int32))
+        return key, sigtab
+
+    key, sigtab = jax.lax.cond(won_any.any(), write_rows, lambda ops: ops,
+                               (key, table.sig))
     count = count.at[dump].set(0)
+    lost = jnp.where(active, w, 0).sum().astype(jnp.int32)
     return SigTable(key=key, count=count, sig=sigtab,
                     overflow=table.overflow + lost)
 
