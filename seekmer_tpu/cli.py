@@ -256,6 +256,7 @@ def cmd_fuse(args) -> int:
         {
             "pairs_total": report.pairs_total,
             "candidates": len(report.candidates),
+            "split_reads": report.split_reads,
             "concordant": report.concordant,
             "same_gene_discordant": report.same_gene_discordant,
             "ambiguous": report.ambiguous,

@@ -125,9 +125,9 @@ def read_abundance(path: str) -> Dict[str, np.ndarray]:
 def write_fusions(path: str, report) -> None:
     """Fusion candidate table (seekmer_tpu/fusion.py FusionReport)."""
     with open(path, "w") as fh:
-        fh.write("gene1\tgene2\tsupporting_pairs\ttranscripts1\t"
-                 "transcripts2\n")
+        fh.write("gene1\tgene2\tsupporting_pairs\tsplit_reads\t"
+                 "transcripts1\ttranscripts2\n")
         for c in report.candidates:
-            fh.write(f"{c.gene1}\t{c.gene2}\t{c.count}\t"
+            fh.write(f"{c.gene1}\t{c.gene2}\t{c.count}\t{c.split_reads}\t"
                      f"{','.join(c.transcripts1)}\t"
                      f"{','.join(c.transcripts2)}\n")

@@ -116,3 +116,40 @@ def test_min_count_filters(world):
     assert report.candidates == []
     report = _run(index, pairs, min_count=1)
     assert len(report.candidates) == 1
+
+
+def test_split_reads_are_called(world):
+    """A mate that physically SPANS the fusion junction hits ECs of both
+    genes with an empty intersection — called as split-read evidence for
+    the gene pair instead of landing in 'unresolved'."""
+    rng, index, names, seqs = world
+    a, b = seqs[5], seqs[7]
+    fused = a[:250] + b[250:]
+    # junction-spanning mate1 (junction at its center), mate2 from the
+    # downstream (GENE7) side of the fusion
+    pairs = [
+        (fused[250 - 50 - i: 250 + 50 - i],
+         _revcomp(fused[250 + 60 + i: 250 + 160 + i]))
+        for i in range(4)
+    ]
+    report = _run(index, pairs, min_count=2)
+    assert report.split_reads >= 4, report
+    assert len(report.candidates) == 1
+    c = report.candidates[0]
+    assert {c.gene1, c.gene2} == {"GENE5", "GENE7"}
+    assert c.split_reads >= 4
+    assert report.unresolved == 0
+
+
+def test_split_read_inconsistent_partner_is_unresolved(world):
+    """A junction mate whose partner maps to a THIRD gene is not fusion
+    evidence."""
+    rng, index, names, seqs = world
+    a, b, other = seqs[5], seqs[7], seqs[9]
+    fused = a[:250] + b[250:]
+    pairs = [(fused[200:300], _revcomp(other[100:200])) for _ in range(3)]
+    report = _run(index, pairs, min_count=1)
+    assert report.split_reads == 0
+    assert all({c.gene1, c.gene2} != {"GENE5", "GENE7"}
+               for c in report.candidates)
+    assert report.unresolved == 3
