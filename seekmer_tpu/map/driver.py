@@ -260,6 +260,15 @@ class Mapper:
         self.table, self.total_reads, stream_state = loaded
         return stream_state
 
+    def make_fld_estimator(self):
+        """Fragment-length estimator sharing this mapper's device table
+        (map/fld.py), or None when the index lacks the FLD payload."""
+        if self.index.fld_tid is None:
+            return None
+        from .fld import FLDEstimator
+
+        return FLDEstimator(self.index, self.device_index)
+
     def finalize(self) -> MapResult:
         sigs, counts = table_to_host(self.table)
         overflow = int(self.table.overflow)

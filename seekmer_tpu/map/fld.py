@@ -81,9 +81,15 @@ def _first_unique(tid, qpos, offs):
 def fld_step(table, fld_tid, fld_pos, hist,
              codes, lengths, codes2, lengths2,
              k: int, main_slots: int, bucket: int,
-             offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+             offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+             owner_bits: int = 0):
     """One FLD sampling step over a paired batch; returns the updated
-    histogram (int32[max_len + 1]; index 0 is the reject dump)."""
+    histogram (int32[max_len + 1]; index 0 is the reject dump).
+
+    ``owner_bits`` > 0 restricts sampling to windows whose k-mer hashes
+    to prefix-shard owner 0 (``table`` is then shard 0's sub-table, an
+    unbiased 1/2^bits sample of the index — the prefix-sharded mode's
+    estimator, parallel/prefix_shard.shard_index_by_prefix)."""
     max_len = hist.shape[0] - 1
 
     def mate(codes, lengths):
@@ -93,9 +99,15 @@ def fld_step(table, fld_tid, fld_pos, hist,
         w = np.asarray(offs, np.int32)
         his, los, vs = hi[:, w], lo[:, w], valid[:, w]
         B, W = his.shape
-        slot = _match_slot(his.reshape(-1), los.reshape(-1), table,
-                           main_slots, bucket)
-        ok = vs.reshape(-1) & (slot >= 0)
+        hif, lof = his.reshape(-1), los.reshape(-1)
+        vs = vs.reshape(-1)
+        if owner_bits:
+            owner = hash_kmer(hif.astype(jnp.uint32),
+                              lof.astype(jnp.uint32)) >> np.uint32(
+                                  32 - owner_bits)
+            vs = vs & (owner == 0)
+        slot = _match_slot(hif, lof, table, main_slots, bucket)
+        ok = vs & (slot >= 0)
         si = jnp.maximum(slot, 0)
         tid = jnp.where(ok, fld_tid[si], -1).reshape(B, W)
         qp = jnp.where(ok, fld_pos[si], 0).reshape(B, W)
@@ -108,6 +120,13 @@ def fld_step(table, fld_tid, fld_pos, hist,
     ok = (u1 & u2 & (t1 == t2)
           & (f >= minf) & (f <= max_len))
     return hist.at[jnp.where(ok, f, 0)].add(ok.astype(jnp.int32))
+
+
+class _PlainTable:
+    """Minimal .table holder (the replicated path passes a DeviceIndex)."""
+
+    def __init__(self, table):
+        self.table = table
 
 
 class FLDEstimator:
@@ -128,7 +147,9 @@ class FLDEstimator:
         self.k = index.k
         self.main_slots = index.main_slots
         self.bucket = index.bucket
-        self.device_index = device_index
+        self.owner_bits = 0
+        self.offsets = DEFAULT_OFFSETS
+        self._table_ref = device_index  # DeviceIndex (table read at feed)
         # main-table part only: stash-resident k-mers (~2e-4 of keys) are
         # simply never sampled
         self.fld_tid = jnp.asarray(index.fld_tid[: index.main_slots])
@@ -139,6 +160,32 @@ class FLDEstimator:
         self._fed = 0
         self._steps: Dict[int, callable] = {}
 
+    @classmethod
+    def for_prefix_shard0(cls, index: KMerIndex, shard0_table,
+                          fld_tid0, fld_pos0, n_shards: int,
+                          max_len: int = 1024, sample_batches: int = 4,
+                          min_samples: int = 100) -> "FLDEstimator":
+        """Estimator over prefix-shard 0's sub-table (an unbiased
+        1/n_shards key sample; parallel/prefix_shard). Samples more
+        window offsets per mate to offset the 1/n_shards yield."""
+        self = cls.__new__(cls)
+        self.k = index.k
+        self.bucket = index.bucket
+        self.main_slots = int(shard0_table.shape[0]) * (
+            shard0_table.shape[1] // 4)
+        self.owner_bits = int(np.log2(n_shards))
+        self.offsets = tuple(range(0, 64, 4))  # 16 offsets for yield
+        table = jnp.asarray(shard0_table)
+        self._table_ref = _PlainTable(table)
+        self.fld_tid = jnp.asarray(fld_tid0)
+        self.fld_pos = jnp.asarray(fld_pos0)
+        self.hist = jnp.zeros(max_len + 1, jnp.int32)
+        self.sample_batches = sample_batches
+        self.min_samples = min_samples
+        self._fed = 0
+        self._steps = {}
+        return self
+
     @property
     def active(self) -> bool:
         return self._fed < self.sample_batches
@@ -146,10 +193,12 @@ class FLDEstimator:
     def _get_step(self, bucket_shape: int):
         if bucket_shape not in self._steps:
             k, ms, G = self.k, self.main_slots, self.bucket
+            ob, offs = self.owner_bits, self.offsets
 
             def fn(table, fld_tid, fld_pos, hist, c1, l1, c2, l2):
                 return fld_step(table, fld_tid, fld_pos, hist, c1, l1,
-                                c2, l2, k, ms, G)
+                                c2, l2, k, ms, G, offsets=offs,
+                                owner_bits=ob)
 
             self._steps[bucket_shape] = jax.jit(fn, donate_argnums=(3,))
         return self._steps[bucket_shape]
@@ -159,7 +208,7 @@ class FLDEstimator:
         if not self.active or batch.codes2 is None:
             return
         step = self._get_step(batch.bucket)
-        self.hist = step(self.device_index.table, self.fld_tid,
+        self.hist = step(self._table_ref.table, self.fld_tid,
                          self.fld_pos, self.hist, batch.codes,
                          batch.lengths, batch.codes2, batch.lengths2)
         self._fed += 1

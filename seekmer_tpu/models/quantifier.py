@@ -142,12 +142,8 @@ class Quantifier:
             mapper = self._make_mapper()
         self._fld_est = None
         if (self.cfg.em.estimate_fld and self.index.fld_tid is not None
-                and hasattr(mapper, "device_index")):
+                and hasattr(mapper, "make_fld_estimator")):
             batches = self._tee_fld(batches, mapper)
-        elif self.cfg.em.estimate_fld and not hasattr(mapper, "device_index"):
-            log.info("FLD estimation skipped: no replicated device index "
-                     "in this shard mode (prefix-sharded); using the "
-                     "configured fragment-length model")
         if checkpoint_path and not hasattr(mapper, "save_checkpoint"):
             log.warning("checkpointing is not supported for this mapper; "
                         "ignoring --checkpoint")
@@ -170,11 +166,11 @@ class Quantifier:
         fragment-length estimator (map/fld.py). The estimator shares the
         mapper's device-resident table; it goes inert (and its payload
         arrays are dropped) after its sampling batches."""
-        from ..map.fld import FLDEstimator
-
+        made = False
         for b in batches:
-            if b.codes2 is not None and self._fld_est is None:
-                self._fld_est = FLDEstimator(self.index, mapper.device_index)
+            if b.codes2 is not None and not made:
+                self._fld_est = mapper.make_fld_estimator()
+                made = True
             if self._fld_est is not None and self._fld_est.active:
                 self._fld_est.feed(b)
             yield b

@@ -192,6 +192,14 @@ class DataParallelMapper:
         self.total_reads = total_reads
         return stream_state
 
+    def make_fld_estimator(self):
+        """FLD estimator over the mesh-replicated device index."""
+        if self.index.fld_tid is None:
+            return None
+        from ..map.fld import FLDEstimator
+
+        return FLDEstimator(self.index, self.device_index)
+
     def _host(self, x) -> np.ndarray:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils

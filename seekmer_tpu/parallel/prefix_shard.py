@@ -71,13 +71,22 @@ def _occupied_keys(table: np.ndarray):
 
 
 def shard_index_by_prefix(
-    index: KMerIndex, n_shards: int, load_factor: float = 0.5
-) -> ShardedDeviceIndex:
+    index: KMerIndex, n_shards: int, load_factor: float = 0.5,
+    return_fld_shard0: bool = False,
+):
     """Rebuild the flat index as n_shards prefix-partitioned sub-tables.
 
     Owner of a key = top log2(n_shards) bits of its main slot hash, so the
     same hash computed on device routes queries; the low bits address the
     home bucket within the owner's table (hash bits are independent).
+
+    ``return_fld_shard0`` additionally returns
+    (shard0_table_host, fld_tid0, fld_pos0) — shard 0's device-layout
+    table plus its per-slot FLD payload (map/fld.py). Shard membership is
+    a hash of the k-mer, so shard 0's keys are an UNBIASED 1/n_shards
+    sample of the index: fragment-length estimation can run against this
+    one sub-table on a single device (an owner==0 filter on the sampled
+    windows) instead of needing the full replicated table.
     """
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     hi1, lo1, v1, a1 = _occupied_keys(index.table)
@@ -86,6 +95,19 @@ def shard_index_by_prefix(
     lo = np.concatenate([lo1, lo2])
     val = np.concatenate([v1, v2])
     aux = np.concatenate([a1, a2])
+    fld_key = None
+    if return_fld_shard0:
+        if index.fld_tid is None:
+            raise ValueError("index has no FLD payload")
+        occ1 = index.table[:, 0] != EMPTY
+        occ2 = index.stash[:, 0] != EMPTY
+        S1 = index.main_slots
+        fld_key = (
+            np.concatenate([index.fld_tid[:S1][occ1],
+                            index.fld_tid[S1:][occ2]]),
+            np.concatenate([index.fld_pos[:S1][occ1],
+                            index.fld_pos[S1:][occ2]]),
+        )
     G = index.bucket
 
     h = hash_kmer(hi.view(np.uint32), lo.view(np.uint32))
@@ -122,13 +144,28 @@ def shard_index_by_prefix(
             tables[d], stashes[d] = t, st
     log.info("prefix shards: %s keys/shard, %d buckets each", parts, n_buckets)
 
+    fld0 = None
+    if return_fld_shard0:
+        # re-place shard 0's keys to recover slot->key mapping for its
+        # FLD payload (main-table part only; stash-resident keys are
+        # simply never sampled, as in the replicated estimator)
+        m = owner == 0
+        t0, over0, slot0, src0 = build_bucket_table(
+            hi[m], lo[m], val[m], n_buckets, G, hash_kmer, aux=aux[m],
+            return_placement=True)
+        idx0 = np.flatnonzero(m)
+        fld_tid0 = np.full(n_buckets * G, -1, np.int32)
+        fld_pos0 = np.zeros(n_buckets * G, np.int32)
+        fld_tid0[slot0] = fld_key[0][idx0[src0]]
+        fld_pos0[slot0] = fld_key[1][idx0[src0]]
+
     # at-rest device layout: (D, n_buckets, 4*G) slab rows — 128-int32
     # tile rows, [hi|lo|ecaux|meta] slabs (ops/probe.device_table_layout)
     from ..ops.probe import device_table_layout
 
     tables = [device_table_layout(t, G) for t in tables]
     stashes = [device_table_layout(t, G) for t in stashes]
-    return ShardedDeviceIndex(
+    sdi = ShardedDeviceIndex(
         table=jnp.asarray(np.stack(tables)),
         stash=jnp.asarray(np.stack(stashes)),
         main_slots=n_buckets * G,
@@ -137,6 +174,9 @@ def shard_index_by_prefix(
         k=index.k,
         n_shards=n_shards,
     )
+    if return_fld_shard0:
+        return sdi, (tables[0], fld_tid0, fld_pos0)
+    return sdi
 
 
 def routed_lookup(hi, lo, valid, sdi: ShardedDeviceIndex, axis: str,
@@ -249,7 +289,12 @@ class PrefixShardedMapper:
                 f"{self.n_dev} devices")
         self.capacity_factor = capacity_factor
 
-        sdi_host = shard_index_by_prefix(index, self.n_index)
+        self._fld_shard0 = None
+        if index.fld_tid is not None:
+            sdi_host, self._fld_shard0 = shard_index_by_prefix(
+                index, self.n_index, return_fld_shard0=True)
+        else:
+            sdi_host = shard_index_by_prefix(index, self.n_index)
         ispec = NamedSharding(self.mesh, P(shard_cfg.index_axis_name))
         self.sdi = ShardedDeviceIndex(
             table=jax.device_put(sdi_host.table, ispec),
@@ -349,6 +394,18 @@ class PrefixShardedMapper:
         for b in batches:
             self.feed(b)
         return self.finalize()
+
+    def make_fld_estimator(self):
+        """FLD estimator over prefix-shard 0's sub-table — an unbiased
+        1/n_shards key sample, matched on the default device with an
+        owner==0 window filter (map/fld.FLDEstimator.for_prefix_shard0)."""
+        if self._fld_shard0 is None:
+            return None
+        from ..map.fld import FLDEstimator
+
+        table0, fld_tid0, fld_pos0 = self._fld_shard0
+        return FLDEstimator.for_prefix_shard0(
+            self.index, table0, fld_tid0, fld_pos0, self.n_index)
 
     def finalize(self) -> MapResult:
         if self._pending_rounds:

@@ -144,3 +144,22 @@ def test_fld_with_data_parallel_mapper(setup):
     res = q.quantify_batches(iter(_batches(c1, c2)))
     assert res.fld_mean is not None
     assert abs(res.fld_mean - MEAN) < 10.0
+
+
+def test_fld_with_prefix_sharded_mapper(setup):
+    """Prefix-sharded mode estimates FLD from shard 0's sub-table (an
+    unbiased 1/n_shards key sample, owner-filtered sampling)."""
+    index, _, c1, c2 = setup
+    from seekmer_tpu.config import PipelineConfig, ShardConfig
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    cfg = PipelineConfig().replace(
+        map=MapConfig(batch_size=2048, sig_table_bits=14, paired_end=True),
+        em=EMConfig(estimate_fld=True),
+        shard=ShardConfig(data_axis=2, index_axis=4, index_mode="prefix"))
+    q = Quantifier(index, cfg)
+    res = q.quantify_batches(iter(_batches(c1, c2)))
+    assert res.fld_mean is not None
+    assert res.fld_samples > 300
+    assert abs(res.fld_mean - MEAN) < 12.0, (res.fld_mean, res.fld_samples)
+    assert abs(res.fld_sd - SD) < 10.0
