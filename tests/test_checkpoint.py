@@ -1,6 +1,8 @@
 """Checkpoint/resume tests (SURVEY.md 5.3/5.4): interrupting the mapping
 stream mid-run and resuming must reproduce the uninterrupted result."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -271,3 +273,89 @@ def test_write_h5_roundtrip(tmp_path):
         assert int(f["aux/num_bootstrap"][0]) == B
         assert int(f["aux/num_processed"][0]) == 1234
         np.testing.assert_allclose(f["bootstrap/bs1"][:], boot[1])
+
+
+def test_multifile_offset_resume_crosses_file_boundary(tmp_path, world):
+    """Cursor spanning several input files: checkpoint lands inside file 2;
+    files 0/1 and the consumed prefix of file 2 are then corrupted —
+    resume must not touch them."""
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    index, reads = world
+    cfg = MapConfig(batch_size=128, sig_table_bits=12)
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"part{i}.fq")
+        _write_fastq_plain(p, reads[i * 200:(i + 1) * 200])
+        files.append(p)
+    ckpt = str(tmp_path / "mf.ckpt.npz")
+
+    full = Mapper(index, cfg).run(iter(
+        CheckpointableBatchSource(files, cfg=cfg)))
+
+    m1 = Mapper(index, cfg)
+    src = CheckpointableBatchSource(files, cfg=cfg)
+    src.CHUNK = 96  # small chunks -> cursors advance within files
+    saved = None
+    for b in iter(src):
+        m1.feed(b)
+        if b.cursor is not None and b.cursor["s1"][0] >= 2:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            saved = b.cursor
+            break
+    assert saved is not None and saved["s1"][0] == 2
+
+    # corrupt everything already consumed
+    for i in range(2):
+        with open(files[i], "r+b") as fh:
+            fh.write(b"X" * os.path.getsize(files[i]))
+    if saved["s1"][1] > 0:
+        with open(files[2], "r+b") as fh:
+            fh.write(b"X" * saved["s1"][1])
+
+    m2 = Mapper(index, cfg)
+    src2 = CheckpointableBatchSource(files, cfg=cfg)
+    src2.restore(m2.restore_checkpoint(ckpt))
+    res = m2.run(iter(src2))
+    assert res.total_reads == full.total_reads == 600
+    assert _as_dict(res) == _as_dict(full)
+
+
+def test_mixed_length_pending_buffers_resume(tmp_path, world):
+    """Reads in several length buckets: the checkpoint carries one
+    pending buffer per bucket; resume reproduces the uninterrupted
+    result exactly."""
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    index, reads = world
+    rng = np.random.default_rng(3)
+    mixed = [r[: int(rng.integers(60, 101))] for r in reads]
+    cfg = MapConfig(batch_size=64, sig_table_bits=12)
+    fq = str(tmp_path / "mixed.fq")
+    _write_fastq_plain(fq, mixed)
+    ckpt = str(tmp_path / "mx.ckpt.npz")
+
+    full = Mapper(index, cfg).run(iter(
+        CheckpointableBatchSource([fq], cfg=cfg)))
+
+    m1 = Mapper(index, cfg)
+    src = CheckpointableBatchSource([fq], cfg=cfg)
+    src.CHUNK = 100
+    fed = 0
+    saved = None
+    for b in iter(src):
+        m1.feed(b)
+        fed += 1
+        if fed >= 3 and b.cursor is not None:
+            assert b.cursor["pending"], "fixture should have pending rows"
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            saved = b.cursor
+            break
+    assert saved is not None
+
+    m2 = Mapper(index, cfg)
+    src2 = CheckpointableBatchSource([fq], cfg=cfg)
+    src2.restore(m2.restore_checkpoint(ckpt))
+    res = m2.run(iter(src2))
+    assert res.total_reads == full.total_reads == len(mixed)
+    assert _as_dict(res) == _as_dict(full)
