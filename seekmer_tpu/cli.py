@@ -219,6 +219,7 @@ def cmd_infer(args) -> int:
             "unmapped": result.unmapped,
             "p_mapped": result.mapped / max(result.total_reads, 1),
             "em_iterations": result.em_iterations,
+            "log_likelihood": result.log_likelihood,
             "fld": (None if result.fld_mean is None else
                     {"mean": result.fld_mean, "sd": result.fld_sd,
                      "samples": result.fld_samples}),

@@ -377,6 +377,26 @@ def run_em(
     )
 
 
+def log_likelihood(ec: ECTable, alpha, eff) -> jnp.ndarray:
+    """Final data log-likelihood under the multinomial read model
+    (reference progress metric, SURVEY.md 5.5: "final likelihood"):
+
+        L = sum_c n_c * log( sum_{t in c} theta_t / eff_t )
+        theta = alpha / sum(alpha)   (read-generating rates, normalized)
+
+    Empty-denominator ECs (all member transcripts at zero abundance)
+    contribute -inf-free 0 via masking — they carry no mass at a fixed
+    point anyway.
+    """
+    theta = alpha / jnp.maximum(alpha.sum(), 1e-300)
+    w = theta[ec.txp_ids] / eff[ec.txp_ids]
+    denom = jax.ops.segment_sum(w, ec.ec_ids, num_segments=ec.num_ecs,
+                                indices_are_sorted=True)
+    return jnp.where(
+        (ec.counts > 0) & (denom > 0),
+        ec.counts * jnp.log(jnp.maximum(denom, 1e-300)), 0.0).sum()
+
+
 def tpm_from_alpha(alpha, lengths, cfg: EMConfig):
     eff = effective_lengths(jnp.asarray(lengths), cfg, alpha.dtype)
     rate = jnp.where(alpha > 0, alpha / eff, 0.0)

@@ -42,6 +42,8 @@ class QuantResult:
     fld_mean: Optional[float] = None
     fld_sd: Optional[float] = None
     fld_samples: Optional[int] = None
+    # final data log-likelihood (reference progress metric, SURVEY.md 5.5)
+    log_likelihood: Optional[float] = None
 
 
 class Quantifier:
@@ -210,6 +212,10 @@ class Quantifier:
         else:
             alpha, iters = run_em(ec, lengths, em_cfg)
         tpm = tpm_from_alpha(alpha, lengths, em_cfg)
+        from ..em.em import log_likelihood
+
+        eff_d = effective_lengths(jnp.asarray(lengths), em_cfg, dtype)
+        ll = float(log_likelihood(ec, alpha, eff_d))
         alpha.block_until_ready()
         t_em = time.perf_counter() - t0
 
@@ -245,4 +251,5 @@ class Quantifier:
             fld_mean=None if fld_est is None else fld_est[0],
             fld_sd=None if fld_est is None else fld_est[1],
             fld_samples=None if fld_est is None else fld_est[2],
+            log_likelihood=ll,
         )

@@ -234,6 +234,23 @@ def run_em(
     return alpha, it * per
 
 
+def log_likelihood(
+    member_lists: List[np.ndarray], counts: np.ndarray,
+    alpha: np.ndarray, eff: np.ndarray,
+) -> float:
+    """float64 mirror of em.log_likelihood (SURVEY.md 5.5 final
+    likelihood): sum_c n_c log(sum_{t in c} theta_t / eff_t)."""
+    theta = alpha / max(alpha.sum(), 1e-300)
+    ll = 0.0
+    for m, n in zip(member_lists, counts):
+        if n <= 0:
+            continue
+        denom = float((theta[m] / eff[m]).sum())
+        if denom > 0:
+            ll += float(n) * np.log(denom)
+    return ll
+
+
 def tpm_from_alpha(alpha: np.ndarray, lengths: np.ndarray, cfg: EMConfig) -> np.ndarray:
     eff = effective_lengths(lengths, cfg)
     rate = np.where(alpha > 0, alpha / eff, 0.0)

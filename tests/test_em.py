@@ -258,3 +258,36 @@ def test_chunked_batched_matches_device_loop(rng):
     np.testing.assert_allclose(np.asarray(a_chk), np.asarray(a_dev),
                                rtol=1e-5, atol=1e-4)
     assert int(it_chk) == int(it_dev)
+
+
+def test_log_likelihood_matches_oracle_and_improves():
+    """Device log-likelihood (SURVEY.md 5.5 'final likelihood') matches
+    the float64 oracle and the EM solution beats the uniform start."""
+    import jax.numpy as jnp
+
+    from seekmer_tpu.em.em import (build_ec_table, effective_lengths,
+                                   log_likelihood, run_em)
+    from tests.oracle import oracle as orc
+
+    rng = np.random.default_rng(5)
+    T, E = 30, 80
+    lengths = rng.integers(300, 2000, T).astype(np.int32)
+    members = [np.sort(rng.choice(T, size=int(rng.integers(1, 4)),
+                                  replace=False)).astype(np.int32)
+               for _ in range(E)]
+    counts = rng.integers(1, 100, E).astype(np.float64)
+    cfg = EMConfig(rel_tol=1e-6)
+    ec = build_ec_table(members, counts, T)
+    eff = effective_lengths(jnp.asarray(lengths), cfg, jnp.float32)
+
+    alpha, _ = run_em(ec, lengths, cfg)
+    ll_dev = float(log_likelihood(ec, alpha, eff))
+    o_eff = orc.effective_lengths(lengths, cfg)
+    ll_orc = orc.log_likelihood(members, counts, np.asarray(alpha, np.float64),
+                                o_eff)
+    np.testing.assert_allclose(ll_dev, ll_orc, rtol=1e-4)
+
+    N = counts.sum()
+    uniform = jnp.full((T,), N / T, jnp.float32)
+    ll_uniform = float(log_likelihood(ec, uniform, eff))
+    assert ll_dev >= ll_uniform
