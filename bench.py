@@ -135,7 +135,7 @@ def main() -> int:
     window_rates = []
     bench_t0 = time.perf_counter()
     w = 0
-    while w < args.max_windows or (
+    while w < max(args.max_windows, 1) or (
         max(window_rates) < degraded_rps
         and time.perf_counter() - bench_t0 < 2 * args.time_budget
     ):

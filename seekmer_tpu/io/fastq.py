@@ -348,8 +348,9 @@ def batch_read_pairs_native(
     # auto: it pairs files index-by-index, which errors on the legal (if
     # exotic) layout where R1/R2 totals match but per-file counts differ —
     # the serial default aligns the two CHAINED streams and handles it.
-    if cfg.io_workers > 1 and not (len(paths1) == len(paths2)
-                                   and len(paths1) > 1):
+    parallel_ok = (cfg.io_workers > 1 and len(paths1) == len(paths2)
+                   and len(paths1) > 1)
+    if cfg.io_workers > 1 and not parallel_ok:
         import logging
 
         logging.getLogger(__name__).info(
@@ -357,8 +358,7 @@ def batch_read_pairs_native(
             "parallel mode needs > 1 mate-file pair matched index-by-index "
             "(got %d R1 / %d R2 files)",
             cfg.io_workers, len(paths1), len(paths2))
-    if (cfg.io_workers > 1 and len(paths1) == len(paths2)
-            and len(paths1) > 1):
+    if parallel_ok:
         def pair_stream(p1, p2):
             try:
                 yield from _aligned_chunks(

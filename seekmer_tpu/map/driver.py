@@ -248,17 +248,22 @@ class Mapper:
         save_map_checkpoint(path, self.table, self.total_reads,
                             stream_state)
 
+    def supports_checkpoint(self) -> bool:
+        return True
+
     def restore_checkpoint(self, path: str) -> Optional[dict]:
         """Restore table + counters; returns the stream resume cursor
-        (CheckpointableBatchSource.restore input; None also when the
-        checkpoint carries no cursor) or None if no checkpoint exists."""
+        (CheckpointableBatchSource.restore input), {} when the checkpoint
+        exists but carries no cursor (table restored, stream position
+        unknown — NOT safely resumable), or None if no checkpoint
+        exists."""
         from ..utils.checkpoint import load_map_checkpoint
 
         loaded = load_map_checkpoint(path)
         if loaded is None:
             return None
         self.table, self.total_reads, stream_state = loaded
-        return stream_state
+        return stream_state if stream_state is not None else {}
 
     def make_fld_estimator(self):
         """Fragment-length estimator sharing this mapper's device table
@@ -331,6 +336,7 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
     and happens at the next batch carrying a resume cursor."""
     n = 0
     due = False
+    warned = False
     last_cursor = None
     for batch in batches:
         mapper.feed(batch)
@@ -343,6 +349,13 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
             if due and cur is not None:
                 mapper.save_checkpoint(checkpoint_path, stream_state=cur)
                 due = False
+            elif due and last_cursor is None and not warned:
+                log.warning(
+                    "checkpointing requested but these batches carry no "
+                    "resume cursors (not from CheckpointableBatchSource); "
+                    "periodic checkpoints are disabled — a final "
+                    "non-resumable table snapshot will still be written")
+                warned = True
     if checkpoint_path:
         mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
     return mapper.finalize()

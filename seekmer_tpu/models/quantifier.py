@@ -64,7 +64,8 @@ class Quantifier:
     ) -> QuantResult:
         mapper = self._make_mapper()
         map_cfg = self.cfg.map
-        if checkpoint_path and hasattr(mapper, "restore_checkpoint"):
+        if checkpoint_path and getattr(mapper, "supports_checkpoint",
+                                       lambda: False)():
             # offset-cursor batching: resume seeks the input files instead
             # of re-decoding them (io/fastq.CheckpointableBatchSource)
             from ..io.fastq import CheckpointableBatchSource
@@ -77,7 +78,9 @@ class Quantifier:
                 log.info("resuming from checkpoint: %d reads already "
                          "mapped", mapper.total_reads)
             elif state is not None:
-                # file exists but carries no cursor: cannot resume safely
+                # file exists but carries no cursor ({}): the restore
+                # already loaded its table, which would double-count —
+                # rebuild a fresh mapper and start over
                 log.warning("checkpoint %s has no stream cursor; starting "
                             "fresh", checkpoint_path)
                 mapper = self._make_mapper()
@@ -146,9 +149,10 @@ class Quantifier:
         if (self.cfg.em.estimate_fld and self.index.fld_tid is not None
                 and hasattr(mapper, "make_fld_estimator")):
             batches = self._tee_fld(batches, mapper)
-        if checkpoint_path and not hasattr(mapper, "save_checkpoint"):
-            log.warning("checkpointing is not supported for this mapper; "
-                        "ignoring --checkpoint")
+        if checkpoint_path and not getattr(mapper, "supports_checkpoint",
+                                           lambda: False)():
+            log.warning("checkpointing is not supported for this mapper/"
+                        "process configuration; ignoring --checkpoint")
             checkpoint_path = None
         if checkpoint_path:
             result = mapper.run(batches, checkpoint_path=checkpoint_path,

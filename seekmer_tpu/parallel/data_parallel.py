@@ -168,9 +168,16 @@ class DataParallelMapper:
         host = SigTable(*(np.asarray(x) for x in self.table))
         save_map_checkpoint(path, host, self.total_reads, stream_state)
 
+    def supports_checkpoint(self) -> bool:
+        """Checkpointing needs per-host stream cursors; single-process
+        only (the quantifier checks this before feeding so an unsupported
+        run degrades to a warning instead of raising mid-run)."""
+        return jax.process_count() == 1
+
     def restore_checkpoint(self, path: str):
         """Restore the sharded table (re-placed with this mapper's data
-        sharding); returns the stream cursor, or None if no checkpoint."""
+        sharding); returns the stream cursor ({} when the checkpoint has
+        none), or None if no checkpoint exists."""
         from ..utils.checkpoint import load_map_checkpoint
 
         loaded = load_map_checkpoint(path)
@@ -190,7 +197,7 @@ class DataParallelMapper:
             overflow=jax.device_put(np.asarray(table.overflow), data),
         )
         self.total_reads = total_reads
-        return stream_state
+        return stream_state if stream_state is not None else {}
 
     def make_fld_estimator(self):
         """FLD estimator over the mesh-replicated device index."""

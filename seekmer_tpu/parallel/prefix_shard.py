@@ -320,8 +320,10 @@ class PrefixShardedMapper:
             overflow=jax.device_put(jnp.zeros(self.n_dev, jnp.int32), dspec),
         )
         self.total_reads = 0
-        self.extra_routing_rounds = 0
-        self._pending_rounds: list = []
+        # running device-side max of per-batch extra routing rounds: no
+        # per-feed sync, O(1) buffers (a list of per-batch arrays grew
+        # with run length)
+        self._rounds_max = jnp.zeros((), jnp.int32)
         self._steps: Dict[Tuple[int, bool], callable] = {}
 
     def _get_step(self, bucket: int, paired: bool):
@@ -387,8 +389,9 @@ class PrefixShardedMapper:
             args += [put(batch.codes2), put(batch.lengths2)]
         self.table, extra = step(self.sdi, self.table, *args)
         self.total_reads += batch.n_real
-        # don't sync per batch: round counters are drained at finalize
-        self._pending_rounds.append(extra)
+        # async device-side fold; read back at finalize
+        self._rounds_max = jnp.maximum(self._rounds_max,
+                                       extra.max().astype(jnp.int32))
 
     def run(self, batches: Iterable[ReadBatch]) -> MapResult:
         for b in batches:
@@ -407,11 +410,13 @@ class PrefixShardedMapper:
         return FLDEstimator.for_prefix_shard0(
             self.index, table0, fld_tid0, fld_pos0, self.n_index)
 
+    @property
+    def extra_routing_rounds(self) -> int:
+        """Max extra all_to_all rounds any batch needed (capacity
+        pressure; syncs the running device fold)."""
+        return int(np.asarray(self._rounds_max))
+
     def finalize(self) -> MapResult:
-        if self._pending_rounds:
-            self.extra_routing_rounds += int(
-                np.asarray(jnp.stack(self._pending_rounds)).max())
-            self._pending_rounds = []
         if self.extra_routing_rounds:
             log.info("all_to_all capacity pressure: up to %d extra routing "
                      "round(s) per batch (results exact; raise "

@@ -359,3 +359,34 @@ def test_mixed_length_pending_buffers_resume(tmp_path, world):
     res = m2.run(iter(src2))
     assert res.total_reads == full.total_reads == len(mixed)
     assert _as_dict(res) == _as_dict(full)
+
+
+def test_cursorless_checkpoint_starts_fresh(tmp_path, world):
+    """A checkpoint with no stream cursor cannot be resumed safely: the
+    quantifier must discard the restored table and start fresh, not
+    double-count the consumed reads (round-2 review finding)."""
+    from seekmer_tpu.config import PipelineConfig
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    index, reads = world
+    cfg = PipelineConfig().replace(
+        map=MapConfig(batch_size=128, sig_table_bits=12))
+    fq = str(tmp_path / "reads.fq")
+    _write_fastq_plain(fq, reads)
+    ckpt = str(tmp_path / "nocursor.ckpt.npz")
+
+    # a full run whose final checkpoint we then strip of its cursor by
+    # re-saving without stream_state
+    m = Mapper(index, cfg.map)
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    m.run(iter(CheckpointableBatchSource([fq], cfg=cfg.map)))
+    m.save_checkpoint(ckpt, stream_state=None)
+
+    baseline = Quantifier(index, cfg).quantify_files([fq])
+    resumed = Quantifier(index, cfg).quantify_files([fq],
+                                                    checkpoint_path=ckpt)
+    assert resumed.total_reads == baseline.total_reads == 600
+    assert resumed.mapped == baseline.mapped  # NOT doubled
+    np.testing.assert_allclose(resumed.est_counts, baseline.est_counts,
+                               rtol=1e-5)
