@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native RNA-seq quantification "
         "(k-mer pseudoalignment + EM)",
     )
+    from . import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"seekmer_tpu {__version__}")
     _common(ap)
     sub = ap.add_subparsers(dest="command", required=True)
     _add_index(sub)
