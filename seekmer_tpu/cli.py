@@ -46,7 +46,7 @@ def _add_infer(sub):
                         "expectation (default: estimated from mapped "
                         "pairs for paired-end runs, else 0)")
     p.add_argument("--em-tolerance", type=float, default=1e-4)
-    p.add_argument("--em-max-iters", type=int, default=1000)
+    p.add_argument("--em-max-iters", type=int, default=10000)
     p.add_argument("--em-accel", choices=("none", "squarem"), default="none",
                    help="fixed-point acceleration (SQUAREM: same fixed "
                         "points, typically 3-10x fewer EM steps)")

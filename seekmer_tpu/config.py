@@ -143,7 +143,12 @@ class EMConfig:
     abs_floor: float = 1e-10
     count_floor: float = 1e-8
     min_iters: int = 10
-    max_iters: int = 1000
+    # A realistic 1M-pair isoform dataset needed ~16k plain-EM iterations
+    # (21 s on-device) to reach rel_tol=1e-4 — the previous default cap of
+    # 1000 silently truncated EM at ~6% of convergence. The quantifier
+    # warns when a run exits at the cap. (The reference's exact cap is an
+    # open parameter, SURVEY.md 3.4.)
+    max_iters: int = 10000
     # The while_loop's data-dependent condition costs a device<->runtime
     # sync per evaluation; EM steps run in counted inner blocks of this
     # size (a converged flag freezes further updates inside a block, so

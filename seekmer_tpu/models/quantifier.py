@@ -223,6 +223,13 @@ class Quantifier:
         alpha.block_until_ready()
         t_em = time.perf_counter() - t0
 
+        if int(iters) >= em_cfg.max_iters:
+            log.warning(
+                "EM stopped at max_iters=%d without meeting rel_tol=%g; "
+                "results are usable but not fully converged (raise "
+                "--em-max-iters or use --em-accel squarem)",
+                em_cfg.max_iters, em_cfg.rel_tol)
+
         boot = None
         if em_cfg.bootstrap_samples > 0:
             t0 = time.perf_counter()
