@@ -72,9 +72,10 @@ def _add_infer(sub):
     p.add_argument("--io-workers", type=int, default=0,
                    help="concurrent FASTQ decode threads (0 = auto, "
                         "1 = serial; forced serial with --checkpoint)")
-    p.add_argument("--probe-chunks", type=int, default=1,
+    p.add_argument("--probe-chunks", type=int, default=0,
                    help="probe lanes in N sequential chunks (bounds device "
-                        "memory transients for very large batches)")
+                        "memory transients for very large batches; "
+                        "0 = auto)")
     p.add_argument("--pack-backend", choices=("xla", "pallas"),
                    default="xla", help="canonical k-mer packing kernel")
     p.add_argument("--probe-backend", choices=("xla", "pallas"),

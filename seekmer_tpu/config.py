@@ -92,8 +92,9 @@ class MapConfig:
     probe_stride: int = 1
     # Process the probe's lanes in this many sequential chunks to bound the
     # gathered-bucket-rows transient (4*bucket_size int32 per lane: GBs at
-    # GENCODE batch sizes). 1 = single pass.
-    probe_chunks: int = 1
+    # GENCODE batch sizes). 0 = auto (chunks sized so the transient stays
+    # ~4 GB; 1 chunk for all standard shapes), 1 = force a single pass.
+    probe_chunks: int = 0
     # Canonical window packing: "xla" (jnp, fused by XLA) or "pallas"
     # (ops/pack_pallas.py kernel).
     pack_backend: str = "xla"

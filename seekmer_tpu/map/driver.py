@@ -115,6 +115,16 @@ class MapResult:
         return self.total_reads - self.mapped - self.overflow
 
 
+def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
+    """probe_chunks == 0 picks the chunk count that bounds the gathered
+    bucket-rows transient (4*bucket int32 per lane) to ~4 GB — oversized
+    batches then probe in sequential chunks instead of OOMing HBM."""
+    if cfg.probe_chunks > 0:
+        return cfg.probe_chunks
+    row_bytes = 4 * bucket * 4
+    return max(1, -(-lanes * row_bytes // (4 << 30)))
+
+
 def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
              codes, lengths, weights, codes2=None, lengths2=None) -> SigTable:
     """One device mapping step (jit-traced per bucket shape)."""
@@ -147,9 +157,10 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
         sig_fn = read_signatures
 
     def lk(h, l, v):
+        chunks = _auto_probe_chunks(cfg, h.shape[0] * h.shape[1], di.bucket)
         return lookup_ecs_strided(h, l, v, di.table, di.main_slots,
                                   di.stash, di.stash_slots, di.bucket,
-                                  stride, chunks=cfg.probe_chunks,
+                                  stride, chunks=chunks,
                                   bucket_lookup=bucket_lookup)
 
     hi, lo, valid = pack(codes, lengths, di.k)
