@@ -151,6 +151,7 @@ def cmd_infer(args) -> int:
         from .parallel.mesh import init_distributed
 
         init_distributed()
+    start_time = time.strftime("%Y-%m-%dT%H:%M:%S")
     index = KMerIndex.load(args.index)
     cfg = PipelineConfig().replace(
         map=MapConfig(
@@ -204,7 +205,8 @@ def cmd_infer(args) -> int:
                     result.names, result.lengths, result.eff_length,
                     result.est_counts, boot_counts=result.bootstrap_counts,
                     run_info={"total_reads": result.total_reads,
-                              "call": " ".join(sys.argv)}):
+                              "call": " ".join(sys.argv),
+                              "start_time": start_time}):
         logging.warning("h5py not installed; abundance.h5 not written "
                         "(sleuth consumers need the HDF5 output)")
     if result.bootstrap_counts is not None:
@@ -229,6 +231,7 @@ def cmd_infer(args) -> int:
                     {"mean": result.fld_mean, "sd": result.fld_sd,
                      "samples": result.fld_samples}),
             "bootstrap_samples": args.bootstrap,
+            "start_time": start_time,
             "timings": result.timings,
             "index": args.index,
             "n_targets": int(index.num_transcripts),

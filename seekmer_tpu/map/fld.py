@@ -89,7 +89,15 @@ def fld_step(table, fld_tid, fld_pos, hist,
     ``owner_bits`` > 0 restricts sampling to windows whose k-mer hashes
     to prefix-shard owner 0 (``table`` is then shard 0's sub-table, an
     unbiased 1/2^bits sample of the index — the prefix-sharded mode's
-    estimator, parallel/prefix_shard.shard_index_by_prefix)."""
+    estimator, parallel/prefix_shard.shard_index_by_prefix).
+
+    Modeling choice: fragments SHORTER than the longer mate's read length
+    are rejected (the ``f >= max(len1, len2)`` filter below). Read-through
+    fragments — real in degraded/short-insert libraries — are therefore
+    excluded, biasing the estimated mean slightly upward there; accepting
+    them would require adapter-aware trimming to measure f at all. The
+    float64 oracle (tests/oracle/oracle.py) applies the identical rule,
+    so oracle parity is unaffected."""
     max_len = hist.shape[0] - 1
 
     def mate(codes, lengths):

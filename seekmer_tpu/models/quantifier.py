@@ -6,6 +6,7 @@ boundary described there: host ingest -> device map kernel -> device EM.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
 import time
@@ -139,8 +140,13 @@ class Quantifier:
                          mapper=None,
                          checkpoint_path: Optional[str] = None,
                          checkpoint_every: int = 50) -> QuantResult:
+        from ..utils.metrics import Metrics
         from ..utils.prefetch import device_put_batches, prefetch
 
+        # per-run metrics registry (SURVEY.md 5.5): stage timers + counters
+        # emitting the BASELINE metric names (reads_per_s,
+        # em_iterations_per_s) into QuantResult.timings -> run_info.json
+        self._metrics = Metrics()
         batches = prefetch(device_put_batches(batches), depth=4)
         t0 = time.perf_counter()
         if mapper is None:
@@ -154,11 +160,13 @@ class Quantifier:
             log.warning("checkpointing is not supported for this mapper/"
                         "process configuration; ignoring --checkpoint")
             checkpoint_path = None
-        if checkpoint_path:
-            result = mapper.run(batches, checkpoint_path=checkpoint_path,
-                                checkpoint_every=checkpoint_every)
-        else:
-            result = mapper.run(batches)
+        with self._metrics.timer("map"):
+            if checkpoint_path:
+                result = mapper.run(batches, checkpoint_path=checkpoint_path,
+                                    checkpoint_every=checkpoint_every)
+            else:
+                result = mapper.run(batches)
+        self._metrics.count("reads", result.total_reads)
         t_map = time.perf_counter() - t0
         log.info(
             "mapped %d/%d reads (%d distinct signatures, %d overflow)",
@@ -208,19 +216,24 @@ class Quantifier:
 
         mesh = getattr(self, "_mesh", None)
         t0 = time.perf_counter()
-        if mesh is not None and self.cfg.shard.data_axis > 1:
-            from ..parallel.collective_em import run_em_collective
+        metrics = getattr(self, "_metrics", None)
+        with (metrics.timer("em") if metrics is not None
+              else contextlib.nullcontext()):
+            if mesh is not None and self.cfg.shard.data_axis > 1:
+                from ..parallel.collective_em import run_em_collective
 
-            alpha, iters = run_em_collective(ec, lengths, em_cfg, mesh,
-                                             self.cfg.shard)
-        else:
-            alpha, iters = run_em(ec, lengths, em_cfg)
-        tpm = tpm_from_alpha(alpha, lengths, em_cfg)
-        from ..em.em import log_likelihood
+                alpha, iters = run_em_collective(ec, lengths, em_cfg, mesh,
+                                                 self.cfg.shard)
+            else:
+                alpha, iters = run_em(ec, lengths, em_cfg)
+            tpm = tpm_from_alpha(alpha, lengths, em_cfg)
+            from ..em.em import log_likelihood
 
-        eff_d = effective_lengths(jnp.asarray(lengths), em_cfg, dtype)
-        ll = float(log_likelihood(ec, alpha, eff_d))
-        alpha.block_until_ready()
+            eff_d = effective_lengths(jnp.asarray(lengths), em_cfg, dtype)
+            ll = float(log_likelihood(ec, alpha, eff_d))
+            alpha.block_until_ready()
+        if metrics is not None:
+            metrics.count("em_iterations", int(iters))
         t_em = time.perf_counter() - t0
 
         if int(iters) >= em_cfg.max_iters:
@@ -246,6 +259,12 @@ class Quantifier:
             log.info("bootstrap: %d replicates in %.2fs",
                      em_cfg.bootstrap_samples, time.perf_counter() - t0)
 
+        timings = {"map_s": t_map, "resolve_s": t_resolve, "em_s": t_em}
+        if metrics is not None:
+            # BASELINE metric names (reads_per_s, em_iterations_per_s,
+            # wall_s) from the per-run registry; surfaces in run_info.json
+            timings.update(metrics.snapshot())
+            metrics.log_summary()
         eff = np.asarray(effective_lengths(jnp.asarray(lengths), em_cfg, dtype))
         return QuantResult(
             est_counts=np.asarray(alpha),
@@ -258,7 +277,7 @@ class Quantifier:
             unmapped=result.unmapped + dropped,
             em_iterations=int(iters),
             bootstrap_counts=boot,
-            timings={"map_s": t_map, "resolve_s": t_resolve, "em_s": t_em},
+            timings=timings,
             fld_mean=None if fld_est is None else fld_est[0],
             fld_sd=None if fld_est is None else fld_est[1],
             fld_samples=None if fld_est is None else fld_est[2],
