@@ -165,9 +165,11 @@ class EMConfig:
     # Fixed-point acceleration: "none" = plain EM; "squarem" = SQUAREM S3
     # cycles (3 EM steps each: secant extrapolation + stabilizing step) —
     # same fixed points, typically 3-10x fewer EM steps to converge.
-    # Applies to the CSR paths (single-run and batched bootstrap);
-    # iteration counts stay in EM-step units. The Pallas dense kernel and
-    # the collective (psum) EM run plain EM regardless.
+    # Applies to the CSR paths — single-run, batched bootstrap AND the
+    # collective (psum) EM (parallel/collective_em.py; the psum'd iterate
+    # is still a fixed-point map and alpha is replicated, so all chips
+    # extrapolate in lockstep). Iteration counts stay in EM-step units.
+    # The Pallas dense kernel runs plain EM regardless.
     accel: str = "none"  # "none" | "squarem"
     # EM backend. "auto" = the flat-CSR segment-sum while_loop: with the
     # convergence check hoisted to counted blocks (check_every) it measures

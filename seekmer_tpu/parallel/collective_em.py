@@ -27,8 +27,10 @@ from ..em.em import (
     _block_body,
     _chunked_fixed_point,
     _use_chunked,
+    accel_schedule,
     effective_lengths,
     run_blocked_fixed_point,
+    squarem_cycle,
 )
 
 
@@ -92,14 +94,27 @@ def run_em_collective(
         chunked = _use_chunked(
             int(ec.txp_ids.shape[0]) // max(n_shards, 1), cfg)
 
+    # SQUAREM acceleration (em.em.squarem_cycle) applies to the psum'd
+    # iterate unchanged: each chip computes the identical REPLICATED alpha
+    # (the psums close every partial sum), so the secant norms and
+    # steplength are replicated too and all chips extrapolate in lockstep.
+    # cfg_eff rescales the blocked budget to cycles (3 EM steps each);
+    # reported iteration counts stay in EM-step units (x ``per``).
+    accel = cfg.accel == "squarem"
+    cfg_eff, per = (accel_schedule(cfg), 3) if accel else (cfg, 1)
+
+    def make_iterate(counts, ec_ids, txp_ids, eff):
+        base = make_one_iter(counts, ec_ids, txp_ids, eff)
+        return (lambda a: squarem_cycle(base, a)) if accel else base
+
     if not chunked:
         def em_collective(counts, ec_ids, txp_ids, lengths):
             eff = effective_lengths(lengths, cfg, dtype)
             N = counts.sum()
             alpha0 = jnp.full((T,), N / T, dtype=dtype)
             it, _, alpha = run_blocked_fixed_point(
-                make_one_iter(counts, ec_ids, txp_ids, eff), alpha0, cfg)
-            return alpha, it
+                make_iterate(counts, ec_ids, txp_ids, eff), alpha0, cfg_eff)
+            return alpha, it * per
 
         sm = jax.shard_map(
             em_collective,
@@ -113,8 +128,8 @@ def run_em_collective(
 
     # chunked: one blocked round per XLA execution, driven from the host
     def em_block(counts, ec_ids, txp_ids, eff, it, conv, alpha):
-        return _block_body(make_one_iter(counts, ec_ids, txp_ids, eff),
-                           cfg)((it, conv, alpha))
+        return _block_body(make_iterate(counts, ec_ids, txp_ids, eff),
+                           cfg_eff)((it, conv, alpha))
 
     sm = jax.shard_map(
         em_block,
@@ -131,5 +146,5 @@ def run_em_collective(
     state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
     state, it_v = _chunked_fixed_point(
         lambda s: blk(ec.counts, ec.ec_ids, ec.txp_ids, eff, *s),
-        state0, cfg)
-    return state[2], jnp.int32(it_v)
+        state0, cfg_eff)
+    return state[2], jnp.int32(it_v * per)
