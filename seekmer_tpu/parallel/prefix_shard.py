@@ -393,10 +393,54 @@ class PrefixShardedMapper:
         self._rounds_max = jnp.maximum(self._rounds_max,
                                        extra.max().astype(jnp.int32))
 
-    def run(self, batches: Iterable[ReadBatch]) -> MapResult:
-        for b in batches:
-            self.feed(b)
-        return self.finalize()
+    def run(self, batches: Iterable[ReadBatch],
+            checkpoint_path: str = None,
+            checkpoint_every: int = 50) -> MapResult:
+        from ..map.driver import _run_with_checkpoints
+
+        return _run_with_checkpoints(self, batches, checkpoint_path,
+                                     checkpoint_every)
+
+    def save_checkpoint(self, path: str, stream_state=None) -> None:
+        """Checkpoint the sharded signature table (global array pulled to
+        host) + resume cursor — the DP mapper's pattern
+        (parallel/data_parallel.py save_checkpoint). Single-process
+        multi-chip; multi-process runs need per-host cursors."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process checkpointing requires per-host stream "
+                "cursors; run checkpointed jobs single-process")
+        from ..utils.checkpoint import save_map_checkpoint
+
+        host = SigTable(*(np.asarray(x) for x in self.table))
+        save_map_checkpoint(path, host, self.total_reads, stream_state)
+
+    def supports_checkpoint(self) -> bool:
+        return jax.process_count() == 1
+
+    def restore_checkpoint(self, path: str):
+        """Restore the sharded table (re-placed with this mapper's
+        both-axes data sharding); returns the stream cursor ({} when the
+        checkpoint carries none) or None if no checkpoint exists."""
+        from ..utils.checkpoint import load_map_checkpoint
+
+        loaded = load_map_checkpoint(path)
+        if loaded is None:
+            return None
+        table, total_reads, stream_state = loaded
+        if np.asarray(table.count).shape != np.asarray(self.table.count).shape:
+            raise ValueError(
+                "checkpoint table shape does not match this mapper's mesh/"
+                "sig_table_bits configuration")
+        dspec = NamedSharding(self.mesh, P(self.both_axes))
+        self.table = SigTable(
+            key=jax.device_put(np.asarray(table.key), dspec),
+            count=jax.device_put(np.asarray(table.count), dspec),
+            sig=jax.device_put(np.asarray(table.sig), dspec),
+            overflow=jax.device_put(np.asarray(table.overflow), dspec),
+        )
+        self.total_reads = total_reads
+        return stream_state if stream_state is not None else {}
 
     def make_fld_estimator(self):
         """FLD estimator over prefix-shard 0's sub-table — an unbiased

@@ -164,6 +164,56 @@ def test_dp_mapper_checkpoint_resume(tmp_path, world):
     assert _as_dict(res) == _as_dict(full)
 
 
+def test_prefix_mapper_checkpoint_resume(tmp_path, world):
+    """Checkpoint/resume for the PREFIX-SHARDED mapper on the fake mesh
+    (VERDICT round-2 item 3): same sharded-table save/restore pattern as
+    the DP mapper, table sharded over both mesh axes. Paired-end to cover
+    the concatenated-mates routing path."""
+    from seekmer_tpu.config import ShardConfig
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+    from seekmer_tpu.parallel.mesh import make_mesh
+    from seekmer_tpu.parallel.prefix_shard import PrefixShardedMapper
+
+    index, _ = world
+    rng = np.random.default_rng(42)
+    _, seqs = random_transcriptome(rng, num_transcripts=30,
+                                   shared_prefix_frac=0.5)
+    sim = simulate_reads(rng, seqs, num_reads=500, read_len=100,
+                         paired=True, mean_frag=180.0, sd_frag=15.0)
+    fq1, fq2 = str(tmp_path / "p1.fq"), str(tmp_path / "p2.fq")
+    _write_fastq_plain(fq1, [r.encode() for r in sim.reads1])
+    _write_fastq_plain(fq2, [r.encode() for r in sim.reads2])
+    cfg = MapConfig(batch_size=128, sig_table_bits=12, paired_end=True)
+    shard_cfg = ShardConfig(data_axis=2, index_axis=4, index_mode="prefix")
+    mesh = make_mesh(shard_cfg)
+    ckpt = str(tmp_path / "px.ckpt.npz")
+
+    full = PrefixShardedMapper(index, cfg, shard_cfg, mesh=mesh).run(
+        iter(CheckpointableBatchSource([fq1], [fq2], cfg)))
+
+    m1 = PrefixShardedMapper(index, cfg, shard_cfg, mesh=mesh)
+    assert m1.supports_checkpoint()
+    for b in iter(CheckpointableBatchSource([fq1], [fq2], cfg)):
+        m1.feed(b)
+        if b.cursor is not None:
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            break
+
+    m2 = PrefixShardedMapper(index, cfg, shard_cfg, mesh=mesh)
+    src2 = CheckpointableBatchSource([fq1], [fq2], cfg)
+    state = m2.restore_checkpoint(ckpt)
+    assert state is not None and state["paired"] is True
+    src2.restore(state)
+    res = m2.run(iter(src2))
+    assert res.total_reads == full.total_reads == 500
+    assert _as_dict(res) == _as_dict(full)
+
+    # and the single-chip mapper agrees (routing exactness)
+    single = Mapper(index, cfg)
+    ref = single.run(iter(CheckpointableBatchSource([fq1], [fq2], cfg)))
+    assert _as_dict(res) == _as_dict(ref)
+
+
 def test_gz_offset_resume(tmp_path, world):
     """.gz inputs resume through the C reader's in-library seek."""
     import gzip
