@@ -105,6 +105,47 @@ def worker(process_id: int) -> None:
     assert as_dict(res) == as_dict(ref_res)
     print(f"[proc {process_id}] DP mapping across processes: "
           f"{res.mapped}/{res.total_reads} mapped == single-chip", flush=True)
+
+    # PREFIX-SHARDED paired mapping across processes (BASELINE config 4 is
+    # multi-HOST): index sharded over a 4-wide `index` axis spanning both
+    # processes, each process feeds its local half of every global batch,
+    # queries cross the process boundary through lax.all_to_all, and the
+    # allgathered merge must equal the single-chip result exactly.
+    from seekmer_tpu.io.fastq import batch_read_pairs
+    from seekmer_tpu.parallel.prefix_shard import PrefixShardedMapper
+    from seekmer_tpu.utils.simulate import simulate_reads
+
+    rng = np.random.default_rng(2)  # identical data in every process
+    sim = simulate_reads(rng, seqs, num_reads=2 * Bg, read_len=L,
+                         paired=True, mean_frag=180.0, sd_frag=15.0)
+    pairs = zip([r.encode() for r in sim.reads1],
+                [r.encode() for r in sim.reads2])
+    cfg_px = MapConfig(batch_size=Bg, sig_table_bits=12, paired_end=True)
+    shard_px = ShardConfig(data_axis=NPROC, index_axis=LOCAL_DEVICES,
+                           index_mode="prefix")
+    mesh_px = make_mesh(shard_px)
+    batches = list(batch_read_pairs(pairs, cfg_px))
+    px = PrefixShardedMapper(index, cfg_px, shard_px, mesh=mesh_px)
+    assert not px.supports_checkpoint()  # multi-process: no per-host cursors
+    B_local = Bg // NPROC
+    lo, hi_ = process_id * B_local, (process_id + 1) * B_local
+    for b in batches:
+        px.feed(ReadBatch(b.codes[lo:hi_], b.lengths[lo:hi_],
+                          b.weights[lo:hi_],
+                          codes2=b.codes2[lo:hi_],
+                          lengths2=b.lengths2[lo:hi_]))
+    res_px = px.finalize()
+
+    single_px = Mapper(index, cfg_px)
+    for b in batches:
+        single_px.feed(b)
+    ref_px = single_px.finalize()
+    assert res_px.total_reads == ref_px.total_reads == 2 * Bg
+    assert as_dict(res_px) == as_dict(ref_px)
+    print(f"[proc {process_id}] prefix-sharded PAIRED mapping across "
+          f"processes: {res_px.mapped}/{res_px.total_reads} mapped == "
+          f"single-chip (extra routing rounds: "
+          f"{px.extra_routing_rounds})", flush=True)
     jax.distributed.shutdown()
 
 

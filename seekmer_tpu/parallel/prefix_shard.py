@@ -295,10 +295,10 @@ class PrefixShardedMapper:
                 index, self.n_index, return_fld_shard0=True)
         else:
             sdi_host = shard_index_by_prefix(index, self.n_index)
-        ispec = NamedSharding(self.mesh, P(shard_cfg.index_axis_name))
+        ispec = P(shard_cfg.index_axis_name)
         self.sdi = ShardedDeviceIndex(
-            table=jax.device_put(sdi_host.table, ispec),
-            stash=jax.device_put(sdi_host.stash, ispec),
+            table=self._put_global(sdi_host.table, ispec),
+            stash=self._put_global(sdi_host.stash, ispec),
             main_slots=sdi_host.main_slots,
             stash_slots=sdi_host.stash_slots,
             bucket=sdi_host.bucket,
@@ -307,17 +307,18 @@ class PrefixShardedMapper:
         )
         both = (shard_cfg.data_axis_name, shard_cfg.index_axis_name)
         self.both_axes = both
-        dspec = NamedSharding(self.mesh, P(both))
         local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
 
         def tile0(x):
-            return jnp.tile(x, (self.n_dev,) + (1,) * (x.ndim - 1))
+            x = np.asarray(x)
+            return np.tile(x, (self.n_dev,) + (1,) * (x.ndim - 1))
 
+        bspec = P(both)
         self.table = SigTable(
-            key=jax.device_put(tile0(local.key), dspec),
-            count=jax.device_put(tile0(local.count), dspec),
-            sig=jax.device_put(tile0(local.sig), dspec),
-            overflow=jax.device_put(jnp.zeros(self.n_dev, jnp.int32), dspec),
+            key=self._put_global(tile0(local.key), bspec),
+            count=self._put_global(tile0(local.count), bspec),
+            sig=self._put_global(tile0(local.sig), bspec),
+            overflow=self._put_global(np.zeros(self.n_dev, np.int32), bspec),
         )
         self.total_reads = 0
         # running device-side max of per-batch extra routing rounds: no
@@ -379,19 +380,54 @@ class PrefixShardedMapper:
         self._steps[key] = step
         return step
 
+    def _put_global(self, arr, spec):
+        """Place a host-replicated array with the given PartitionSpec.
+        Multi-process: every process holds the full host array (the index
+        and the zero-initialized tables are built identically everywhere),
+        so each process materializes its addressable shards by slicing."""
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx])
+        return jax.device_put(arr, sh)
+
+    def _put_batch(self, arr):
+        """Place a batch array sharded over BOTH mesh axes (flattened on
+        dim 0). Multi-process: each host passes its LOCAL slice of the
+        global batch (BASELINE config 4 is multi-HOST: per-host FASTQ
+        shards route queries across the process boundary through the
+        all_to_all) and the global array is assembled across processes —
+        the DP mapper's pattern (data_parallel.py _put_batch)."""
+        dspec = NamedSharding(self.mesh, P(self.both_axes))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(dspec, arr)
+        return jax.device_put(arr, dspec)
+
     def feed(self, batch: ReadBatch) -> None:
         paired = batch.codes2 is not None
         step = self._get_step(batch.bucket, paired)
-        dspec = NamedSharding(self.mesh, P(self.both_axes))
-        put = functools.partial(jax.device_put, device=dspec)
+        put = self._put_batch
         args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
         if paired:
             args += [put(batch.codes2), put(batch.lengths2)]
         self.table, extra = step(self.sdi, self.table, *args)
         self.total_reads += batch.n_real
-        # async device-side fold; read back at finalize
-        self._rounds_max = jnp.maximum(self._rounds_max,
-                                       extra.max().astype(jnp.int32))
+        # async device-side fold; read back at finalize. Multi-process:
+        # eager reductions over a non-fully-addressable global array are
+        # disallowed, so fold only this process's addressable shards (the
+        # property below allgather-maxes at read time).
+        if jax.process_count() > 1:
+            d0 = jax.local_devices()[0]
+            for s in extra.addressable_shards:
+                # shards sit on different local devices; hop each scalar
+                # to one device (async) so the fold stays sync-free
+                self._rounds_max = jnp.maximum(
+                    self._rounds_max,
+                    jax.device_put(jnp.max(s.data).astype(jnp.int32), d0))
+        else:
+            self._rounds_max = jnp.maximum(self._rounds_max,
+                                           extra.max().astype(jnp.int32))
 
     def run(self, batches: Iterable[ReadBatch],
             checkpoint_path: str = None,
@@ -457,8 +493,23 @@ class PrefixShardedMapper:
     @property
     def extra_routing_rounds(self) -> int:
         """Max extra all_to_all rounds any batch needed (capacity
-        pressure; syncs the running device fold)."""
-        return int(np.asarray(self._rounds_max))
+        pressure; syncs the running device fold; multi-process, maxes
+        across hosts)."""
+        v = int(np.asarray(self._rounds_max))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            v = int(multihost_utils.process_allgather(np.int32(v)).max())
+        return v
+
+    def _host(self, x) -> np.ndarray:
+        """Pull a mesh-sharded array to host; multi-process, shards are
+        allgathered so every host sees the global table."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
 
     def finalize(self) -> MapResult:
         if self.extra_routing_rounds:
@@ -466,7 +517,13 @@ class PrefixShardedMapper:
                      "round(s) per batch (results exact; raise "
                      "capacity_factor to trade memory for latency)",
                      self.extra_routing_rounds)
-        return merge_sig_rows(np.asarray(self.table.sig),
-                              np.asarray(self.table.count),
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # per-host read counters -> global total (DP finalize pattern)
+            self.total_reads = int(multihost_utils.process_allgather(
+                np.int64(self.total_reads)).sum())
+        return merge_sig_rows(self._host(self.table.sig),
+                              self._host(self.table.count),
                               self.total_reads,
-                              int(np.asarray(self.table.overflow).sum()))
+                              int(self._host(self.table.overflow).sum()))
