@@ -109,10 +109,17 @@ def _batched_block_jit(counts_nnz, inv_eff_nnz, ec_ids, txp_ids, it, conv,
 
 
 def _batched_em_chunked(cmat, ec_ids, txp_ids, lengths,
-                        num_ecs: int, num_transcripts: int, cfg: EMConfig):
+                        num_ecs: int, num_transcripts: int, cfg: EMConfig,
+                        alpha_init=None, it_init: int = 0, on_sync=None):
     """Chunked host-driven variant of batched_em: same blocked schedule,
     bounded per-block XLA executions (long single executions crash this
-    platform's TPU worker — em._MAX_EXEC_S)."""
+    platform's TPU worker — em._MAX_EXEC_S).
+
+    ``alpha_init`` (replicate-major (T, B)) / ``it_init`` warm-start the
+    batched fixed point from a bootstrap-stage snapshot; ``on_sync
+    (alpha_TB_np, it)`` fires at host sync points (the snapshot hook —
+    resampling is seeded, so a resumed run sees the identical cmat and
+    replays the identical iterate sequence)."""
     cfg_eff, per = ((accel_schedule(cfg), 3) if cfg.accel == "squarem"
                     else (cfg, 1))
     dtype = cmat.dtype
@@ -121,7 +128,8 @@ def _batched_em_chunked(cmat, ec_ids, txp_ids, lengths,
     counts_nnz = cmat.T.astype(dtype)[ec_ids]
     inv_eff_nnz = (1.0 / eff)[txp_ids][:, None]
     n_per = cmat.sum(axis=1)
-    alpha0 = jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
+    alpha0 = (jnp.broadcast_to(n_per[None, :] / T, (T, B)).astype(dtype)
+              if alpha_init is None else jnp.asarray(alpha_init, dtype))
 
     def block(state):
         it, conv, alpha = state
@@ -129,8 +137,13 @@ def _batched_em_chunked(cmat, ec_ids, txp_ids, lengths,
                                   it, conv, alpha, num_ecs=num_ecs,
                                   num_transcripts=T, cfg=cfg_eff)
 
-    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
-    state, it_v = _chunked_fixed_point(block, state0, cfg_eff)
+    hook = None
+    if on_sync is not None:
+        import numpy as np
+
+        hook = lambda state, it: on_sync(np.asarray(state[2]), it * per)
+    state0 = (jnp.int32(it_init // per), jnp.bool_(False), alpha0)
+    state, it_v = _chunked_fixed_point(block, state0, cfg_eff, on_sync=hook)
     return state[2].T, jnp.int32(it_v * per)
 
 
@@ -145,12 +158,20 @@ def _bootstrap_jit(counts, ec_ids, txp_ids, lengths, num_ecs,
                           cfg)
 
 
-def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
+def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig,
+                  alpha_init=None, it_init: int = 0, on_sync=None,
+                  chunked: bool | None = None):
     """Returns est_counts per replicate: float[B, T].
 
     Uses the fused Pallas fixed-point kernel when the dense membership and
     replicate batch fit VMEM (the replicate axis turns the EM contractions
     into genuine MXU matmuls); falls back to the vmapped CSR loop.
+
+    ``alpha_init`` ((T, B) replicate-major) / ``it_init`` / ``on_sync``
+    wire bootstrap-stage snapshots on the CHUNKED execution path (the
+    long runs); resampling is seeded by cfg.bootstrap_seed, so a resumed
+    run regenerates the identical cmat. ``chunked`` overrides the
+    execution-mode policy (tests).
     """
     from .em import _pallas_interpret, _use_pallas, dense_membership
 
@@ -173,10 +194,13 @@ def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig):
             interpret=_pallas_interpret(),
         )
         return alpha
-    if _use_chunked(int(ec.ec_ids.shape[0]), cfg, replicates=B):
+    if chunked is None:
+        chunked = _use_chunked(int(ec.ec_ids.shape[0]), cfg, replicates=B)
+    if chunked:
         alpha, _ = _batched_em_chunked(
             cmat, ec.ec_ids, ec.txp_ids, lengths,
-            ec.num_ecs, ec.num_transcripts, cfg)
+            ec.num_ecs, ec.num_transcripts, cfg,
+            alpha_init=alpha_init, it_init=it_init, on_sync=on_sync)
         return alpha
     alpha, _ = _batched_em_jit(
         cmat, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),

@@ -160,9 +160,12 @@ def convergence_check(alpha_m, alpha_new, cfg: EMConfig):
     return active.any() & (jnp.where(active, rel, 0.0).max() < cfg.rel_tol)
 
 
-def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig):
+def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig,
+                            it_init: int = 0):
     """Iterate ``alpha -> em_iter(alpha)`` to convergence, checking every
     cfg.check_every iterations. Returns (it, converged, alpha).
+    ``it_init`` warm-starts the iteration counter (snapshot resume), so
+    the max_iters budget counts TOTAL iterations across restarts.
 
     Data-dependent control flow costs a device<->runtime sync per
     evaluation on this backend (measured ~30-130us, vs ~0.3us/iteration
@@ -184,7 +187,7 @@ def run_blocked_fixed_point(em_iter, alpha0, cfg: EMConfig):
     # stops the loop first) but keeps the two paths state-for-state equal
     return jax.lax.while_loop(
         cond, _block_body(em_iter, cfg),
-        (jnp.int32(0), jnp.bool_(False), alpha0))
+        (jnp.int32(it_init), jnp.bool_(False), alpha0))
 
 
 def _block_body(em_iter, cfg: EMConfig):
@@ -239,12 +242,18 @@ def _use_chunked(nnz: int, cfg: EMConfig, replicates: int = 1) -> bool:
 
 
 def _chunked_fixed_point(block_fn, state, cfg_eff: EMConfig,
-                         target_sync_s: float = 2.0):
+                         target_sync_s: float = 2.0, on_sync=None):
     """Drive blocked fixed-point rounds from the host: enqueue k blocks
     asynchronously (each its own bounded XLA execution), then one scalar
     readback; adapt k so syncs cost ~target_sync_s of enqueued compute.
     Semantics identical to lax.while_loop over the same block (post-
-    convergence blocks are identity)."""
+    convergence blocks are identity).
+
+    ``on_sync(state, it)`` fires at every host sync point that does NOT
+    finish the run — the EM-stage snapshot hook (SURVEY.md 5.3: "EM
+    restarts from last alpha snapshot"); the state it sees is a genuine
+    block boundary, so resuming from it replays the identical iterate
+    sequence."""
     import time
 
     C = max(cfg_eff.check_every, 1)
@@ -258,12 +267,15 @@ def _chunked_fixed_point(block_fn, state, cfg_eff: EMConfig,
         dt = time.perf_counter() - t0
         if conv_v or it_v >= cfg_eff.max_iters:
             return state, it_v
+        if on_sync is not None:
+            on_sync(state, it_v)
         per_block = max(dt / k, 1e-4)
         remaining = max((cfg_eff.max_iters - it_v) // C, 1)
         k = max(1, min(int(target_sync_s / per_block), remaining))
 
 
-def _run_em_chunked(ec: ECTable, lengths, cfg: EMConfig, alpha_init=None):
+def _run_em_chunked(ec: ECTable, lengths, cfg: EMConfig, alpha_init=None,
+                    it_init: int = 0, on_sync=None):
     cfg_eff, per = ((accel_schedule(cfg), 3) if cfg.accel == "squarem"
                     else (cfg, 1))
     dtype = ec.counts.dtype
@@ -280,16 +292,22 @@ def _run_em_chunked(ec: ECTable, lengths, cfg: EMConfig, alpha_init=None):
                              num_ecs=ec.num_ecs, num_transcripts=T,
                              cfg=cfg_eff)
 
-    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
-    state, it_v = _chunked_fixed_point(block, state0, cfg_eff)
+    hook = None
+    if on_sync is not None:
+        # report EM-step units (internal counter is in iterate units: 1
+        # SQUAREM cycle = 3 EM steps)
+        hook = lambda state, it: on_sync(np.asarray(state[2]), it * per)
+    state0 = (jnp.int32(it_init // per), jnp.bool_(False), alpha0)
+    state, it_v = _chunked_fixed_point(block, state0, cfg_eff,
+                                       on_sync=hook)
     return state[2], jnp.int32(it_v * per)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg")
+    jax.jit, static_argnames=("num_ecs", "num_transcripts", "cfg", "it_init")
 )
 def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
-                cfg, alpha_init=None):
+                cfg, alpha_init=None, it_init: int = 0):
     ec = ECTable(counts, ec_ids, txp_ids, num_ecs, num_transcripts)
     dtype = counts.dtype
     eff = effective_lengths(lengths, cfg, dtype)
@@ -301,9 +319,11 @@ def _run_em_jit(counts, ec_ids, txp_ids, lengths, num_ecs, num_transcripts,
     em_iter = lambda a: em_step(a, ec, eff)
     if cfg.accel == "squarem":
         it, _, alpha = run_blocked_fixed_point(
-            lambda a: squarem_cycle(em_iter, a), alpha0, accel_schedule(cfg))
+            lambda a: squarem_cycle(em_iter, a), alpha0, accel_schedule(cfg),
+            it_init=it_init // 3)
         return alpha, it * 3
-    it, _, alpha = run_blocked_fixed_point(em_iter, alpha0, cfg)
+    it, _, alpha = run_blocked_fixed_point(em_iter, alpha0, cfg,
+                                           it_init=it_init)
     return alpha, it
 
 
@@ -339,12 +359,19 @@ def _use_pallas(ec: ECTable, cfg: EMConfig, replicates: int = 1) -> bool:
 
 
 def run_em(
-    ec: ECTable, lengths, cfg: EMConfig = EMConfig(), alpha_init=None
+    ec: ECTable, lengths, cfg: EMConfig = EMConfig(), alpha_init=None,
+    it_init: int = 0, on_sync=None, chunked: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM to convergence. Returns (alpha float[T], iterations int32).
 
-    ``alpha_init`` warm-starts the fixed point (checkpoint resume,
-    SURVEY.md 5.3: "EM restarts from last alpha snapshot"). Backend per
+    ``alpha_init``/``it_init`` warm-start the fixed point (checkpoint
+    resume, SURVEY.md 5.3: "EM restarts from last alpha snapshot"; the
+    max_iters budget counts total iterations across restarts).
+    ``on_sync(alpha_np, it)`` fires at host sync points of the CHUNKED
+    execution path — the snapshot hook; the single-execution paths run
+    the whole fixed point in one XLA program, so they cannot snapshot
+    mid-run (they are the short, crash-safe runs). ``chunked`` overrides
+    the automatic execution-mode policy (tests). Backend per
     EMConfig.backend: auto = the flat-CSR while_loop (VMEM-resident for
     single runs — see _use_pallas for the measured policy).
     """
@@ -363,8 +390,11 @@ def run_em(
             inv_eff, alpha0, cfg, T, interpret=_pallas_interpret(),
         )
         return alpha[0], iters
-    if _use_chunked(int(ec.ec_ids.shape[0]), cfg):
-        return _run_em_chunked(ec, lengths, cfg, alpha_init=alpha_init)
+    if chunked is None:
+        chunked = _use_chunked(int(ec.ec_ids.shape[0]), cfg)
+    if chunked:
+        return _run_em_chunked(ec, lengths, cfg, alpha_init=alpha_init,
+                               it_init=it_init, on_sync=on_sync)
     return _run_em_jit(
         ec.counts,
         ec.ec_ids,
@@ -374,6 +404,7 @@ def run_em(
         ec.num_transcripts,
         cfg,
         alpha_init=alpha_init,
+        it_init=it_init,
     )
 
 

@@ -173,7 +173,7 @@ class Quantifier:
             result.mapped, result.total_reads, result.sigs.shape[0],
             result.overflow,
         )
-        return self._infer(result, t_map)
+        return self._infer(result, t_map, checkpoint_path=checkpoint_path)
 
     def _tee_fld(self, batches, mapper):
         """Pass batches through while sampling the first paired ones into a
@@ -201,7 +201,37 @@ class Quantifier:
         return dataclasses.replace(
             em_cfg, mean_fragment_length=mean, fragment_length_sd=sd), est
 
-    def _infer(self, result: MapResult, t_map: float) -> QuantResult:
+    def _em_snapshots(self, checkpoint_path, T: int):
+        """EM/bootstrap-stage snapshot wiring (SURVEY.md 5.3: "EM restarts
+        from last alpha snapshot"). Returns (em_snap_path, boot_snap_path,
+        alpha_init, it_init, on_sync) — snapshots live NEXT to the mapping
+        checkpoint so one --checkpoint flag protects every stage. Only
+        process 0 writes on multi-process runs."""
+        if not checkpoint_path:
+            return None, None, None, 0, None
+        import jax
+
+        from ..utils.checkpoint import load_em_snapshot, save_em_snapshot
+
+        em_snap = checkpoint_path + ".em.npz"
+        boot_snap = checkpoint_path + ".boot.npz"
+        alpha_init, it_init = None, 0
+        loaded = load_em_snapshot(em_snap)
+        if loaded is not None:
+            a, it = loaded
+            if a.ndim == 1 and a.shape[0] == T:
+                alpha_init, it_init = a, it
+                log.info("resuming EM from snapshot at iteration %d", it)
+            else:
+                log.warning("EM snapshot %s has shape %s != (%d,); "
+                            "ignoring", em_snap, a.shape, T)
+        on_sync = None
+        if jax.process_index() == 0:
+            on_sync = lambda a, it: save_em_snapshot(em_snap, a, it)
+        return em_snap, boot_snap, alpha_init, it_init, on_sync
+
+    def _infer(self, result: MapResult, t_map: float,
+               checkpoint_path: Optional[str] = None) -> QuantResult:
         import jax.numpy as jnp
 
         t0 = time.perf_counter()
@@ -214,6 +244,9 @@ class Quantifier:
         ec = build_ec_table(member_lists, counts, T, dtype=dtype)
         lengths = self.index.lengths
 
+        em_snap, boot_snap, alpha_init, it_init, on_sync = \
+            self._em_snapshots(checkpoint_path, T)
+
         mesh = getattr(self, "_mesh", None)
         t0 = time.perf_counter()
         metrics = getattr(self, "_metrics", None)
@@ -223,9 +256,14 @@ class Quantifier:
                 from ..parallel.collective_em import run_em_collective
 
                 alpha, iters = run_em_collective(ec, lengths, em_cfg, mesh,
-                                                 self.cfg.shard)
+                                                 self.cfg.shard,
+                                                 alpha_init=alpha_init,
+                                                 it_init=it_init,
+                                                 on_sync=on_sync)
             else:
-                alpha, iters = run_em(ec, lengths, em_cfg)
+                alpha, iters = run_em(ec, lengths, em_cfg,
+                                      alpha_init=alpha_init,
+                                      it_init=it_init, on_sync=on_sync)
             tpm = tpm_from_alpha(alpha, lengths, em_cfg)
             from ..em.em import log_likelihood
 
@@ -243,6 +281,11 @@ class Quantifier:
                 "--em-max-iters or use --em-accel squarem)",
                 em_cfg.max_iters, em_cfg.rel_tol)
 
+        if em_snap is not None and on_sync is not None:
+            # EM done: pin the final state so a crash during bootstrap
+            # warm-starts EM to instant convergence on resume
+            on_sync(np.asarray(alpha), int(iters))
+
         boot = None
         if em_cfg.bootstrap_samples > 0:
             t0 = time.perf_counter()
@@ -250,14 +293,42 @@ class Quantifier:
                     and em_cfg.bootstrap_samples % self.cfg.shard.data_axis == 0):
                 from ..parallel.bootstrap_shard import run_bootstrap_sharded
 
+                # sharded bootstrap: no snapshot wiring (replicate axis is
+                # mesh-folded; runs are short per chip)
                 boot = np.asarray(run_bootstrap_sharded(
                     ec, lengths, em_cfg, mesh, self.cfg.shard))
             else:
+                b_init, b_it, b_sync = None, 0, None
+                if boot_snap is not None:
+                    from ..utils.checkpoint import (
+                        load_em_snapshot, save_em_snapshot)
+
+                    loaded = load_em_snapshot(boot_snap)
+                    if (loaded is not None and loaded[0].ndim == 2
+                            and loaded[0].shape ==
+                            (T, em_cfg.bootstrap_samples)):
+                        b_init, b_it = loaded
+                        log.info("resuming bootstrap EM from snapshot at "
+                                 "iteration %d", b_it)
+                    if on_sync is not None:  # process 0 only
+                        b_sync = lambda a, it: save_em_snapshot(
+                            boot_snap, a, it)
                 boot = np.asarray(
-                    em_bootstrap.run_bootstrap(ec, lengths, em_cfg)
+                    em_bootstrap.run_bootstrap(ec, lengths, em_cfg,
+                                               alpha_init=b_init,
+                                               it_init=b_it,
+                                               on_sync=b_sync)
                 )
             log.info("bootstrap: %d replicates in %.2fs",
                      em_cfg.bootstrap_samples, time.perf_counter() - t0)
+        if on_sync is not None:
+            # run complete: drop stage snapshots so the next fresh run
+            # does not warm-start from stale state
+            import os
+
+            for p in (em_snap, boot_snap):
+                if p and os.path.exists(p):
+                    os.remove(p)
 
         timings = {"map_s": t_map, "resolve_s": t_resolve, "em_s": t_em}
         if metrics is not None:

@@ -56,6 +56,9 @@ def run_em_collective(
     mesh: Mesh,
     shard_cfg: ShardConfig = ShardConfig(),
     chunked: Optional[bool] = None,
+    alpha_init=None,
+    it_init: int = 0,
+    on_sync=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM to convergence with the membership axis sharded over the mesh's
     data axis. Returns (alpha float[T], iterations).
@@ -67,6 +70,11 @@ def run_em_collective(
     single-chip CSR EM, with identical state semantics (post-convergence
     blocks are the identity). A GENCODE-scale pod EM to tolerance would
     otherwise run one unbounded convergence-checked while_loop.
+
+    ``alpha_init``/``it_init``/``on_sync(alpha_np, it)`` wire EM-stage
+    snapshots (resume + mid-run saves on the chunked path; the
+    single-execution path honors the warm start but cannot fire mid-run
+    hooks), mirroring em.em.run_em.
     """
     axis = shard_cfg.data_axis_name
     n_shards = mesh.shape[axis]
@@ -108,23 +116,28 @@ def run_em_collective(
         return (lambda a: squarem_cycle(base, a)) if accel else base
 
     if not chunked:
-        def em_collective(counts, ec_ids, txp_ids, lengths):
+        def em_collective(counts, ec_ids, txp_ids, lengths, a_init):
             eff = effective_lengths(lengths, cfg, dtype)
             N = counts.sum()
-            alpha0 = jnp.full((T,), N / T, dtype=dtype)
+            alpha0 = jnp.where(a_init.sum() > 0, a_init,
+                               jnp.full((T,), N / T, dtype=dtype))
             it, _, alpha = run_blocked_fixed_point(
-                make_iterate(counts, ec_ids, txp_ids, eff), alpha0, cfg_eff)
+                make_iterate(counts, ec_ids, txp_ids, eff), alpha0, cfg_eff,
+                it_init=it_init // per)
             return alpha, it * per
 
         sm = jax.shard_map(
             em_collective,
             mesh=mesh,
-            in_specs=(rep, nnz_spec, nnz_spec, rep),
+            in_specs=(rep, nnz_spec, nnz_spec, rep, rep),
             out_specs=(rep, rep),
             check_vma=False,
         )
         fn = jax.jit(sm)
-        return fn(ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths))
+        a_init = (jnp.zeros((T,), dtype) if alpha_init is None
+                  else jnp.asarray(alpha_init, dtype))
+        return fn(ec.counts, ec.ec_ids, ec.txp_ids, jnp.asarray(lengths),
+                  a_init)
 
     # chunked: one blocked round per XLA execution, driven from the host
     def em_block(counts, ec_ids, txp_ids, eff, it, conv, alpha):
@@ -142,9 +155,13 @@ def run_em_collective(
 
     eff = effective_lengths(jnp.asarray(lengths), cfg, dtype)
     N = ec.counts.sum()
-    alpha0 = jnp.full((T,), N / T, dtype=dtype)
-    state0 = (jnp.int32(0), jnp.bool_(False), alpha0)
+    alpha0 = (jnp.full((T,), N / T, dtype=dtype)
+              if alpha_init is None else jnp.asarray(alpha_init, dtype))
+    hook = None
+    if on_sync is not None:
+        hook = lambda state, it: on_sync(np.asarray(state[2]), it * per)
+    state0 = (jnp.int32(it_init // per), jnp.bool_(False), alpha0)
     state, it_v = _chunked_fixed_point(
         lambda s: blk(ec.counts, ec.ec_ids, ec.txp_ids, eff, *s),
-        state0, cfg_eff)
+        state0, cfg_eff, on_sync=hook)
     return state[2], jnp.int32(it_v * per)

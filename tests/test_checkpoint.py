@@ -277,6 +277,126 @@ def test_em_snapshot_roundtrip_and_warm_start(tmp_path, world):
                                rtol=1e-5, atol=1e-5)
 
 
+def _ec_world(world):
+    from seekmer_tpu.map.driver import resolve_signatures
+
+    index, reads = world
+    cfg = MapConfig(batch_size=128, sig_table_bits=12)
+    result = Mapper(index, cfg).run(batch_reads(reads, cfg))
+    members, counts, _ = resolve_signatures(result, index)
+    return index, build_ec_table(members, counts, index.num_transcripts)
+
+
+def test_em_interrupt_resume_exact(world):
+    """Kill the CHUNKED EM at its first snapshot sync, resume from the
+    snapshot state, and land on the uninterrupted run's result EXACTLY
+    (VERDICT round-2 item 2's done-criterion: snapshots are genuine block
+    boundaries, so the resumed run replays the identical iterate
+    sequence)."""
+    index, ec = _ec_world(world)
+    em_cfg = EMConfig(rel_tol=1e-10, check_every=8, max_iters=400)
+
+    full_alpha, full_it = run_em(ec, index.lengths, em_cfg, chunked=True)
+    assert int(full_it) > em_cfg.check_every  # multiple blocks ran
+
+    class Boom(Exception):
+        pass
+
+    saves = []
+
+    def on_sync(a, it):
+        saves.append((a.copy(), it))
+        raise Boom  # simulated crash right after the first snapshot
+
+    with pytest.raises(Boom):
+        run_em(ec, index.lengths, em_cfg, chunked=True, on_sync=on_sync)
+    a0, it0 = saves[-1]
+    assert 0 < it0 < int(full_it)
+
+    alpha_r, it_r = run_em(ec, index.lengths, em_cfg, alpha_init=a0,
+                           it_init=it0, chunked=True)
+    assert int(it_r) == int(full_it)
+    np.testing.assert_array_equal(np.asarray(alpha_r),
+                                  np.asarray(full_alpha))
+
+
+def test_bootstrap_interrupt_resume_exact(world):
+    """Same kill-and-resume criterion for the CHUNKED batched bootstrap:
+    resampling is seeded, so the resumed run regenerates the identical
+    count matrix and replays the identical batched iterate sequence."""
+    from seekmer_tpu.em.bootstrap import run_bootstrap
+
+    index, ec = _ec_world(world)
+    # backend="csr": the batched-auto policy would pick the Pallas dense
+    # kernel at this scale, whose in-kernel loop has no snapshot hook
+    em_cfg = EMConfig(rel_tol=1e-10, check_every=8, max_iters=400,
+                      bootstrap_samples=6, bootstrap_seed=3, backend="csr")
+
+    full = np.asarray(run_bootstrap(ec, index.lengths, em_cfg,
+                                    chunked=True))
+
+    class Boom(Exception):
+        pass
+
+    saves = []
+
+    def on_sync(a, it):
+        saves.append((a.copy(), it))
+        raise Boom
+
+    with pytest.raises(Boom):
+        run_bootstrap(ec, index.lengths, em_cfg, chunked=True,
+                      on_sync=on_sync)
+    a0, it0 = saves[-1]
+    assert a0.shape == (index.num_transcripts, 6) and it0 > 0
+
+    res = np.asarray(run_bootstrap(ec, index.lengths, em_cfg,
+                                   alpha_init=a0, it_init=it0,
+                                   chunked=True))
+    np.testing.assert_array_equal(res, full)
+
+
+def test_pipeline_em_snapshot_lifecycle(tmp_path, world):
+    """Pipeline-level wiring: a leftover EM snapshot (simulated crash
+    residue) warm-starts the quantifier without changing the answer, and
+    a completed run cleans its stage snapshots up."""
+    from seekmer_tpu.config import PipelineConfig
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    index, reads = world
+    fq = str(tmp_path / "reads.fq")
+    _write_fastq_plain(fq, reads)
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    cfg = PipelineConfig().replace(
+        map=MapConfig(batch_size=128, sig_table_bits=12),
+        em=EMConfig(rel_tol=1e-6, bootstrap_samples=4))
+
+    fresh = Quantifier(index, cfg).quantify_files([fq],
+                                                  checkpoint_path=ckpt)
+    # completed run leaves no stage snapshots behind
+    assert not os.path.exists(ckpt + ".em.npz")
+    assert not os.path.exists(ckpt + ".boot.npz")
+
+    # plant a converged-EM snapshot (crash-after-EM residue): resumed run
+    # must produce the same abundances and clean up again
+    save_em_snapshot(ckpt + ".em.npz", fresh.est_counts, 64)
+    resumed = Quantifier(index, cfg).quantify_files([fq],
+                                                    checkpoint_path=ckpt)
+    np.testing.assert_allclose(resumed.est_counts, fresh.est_counts,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(resumed.bootstrap_counts,
+                                  fresh.bootstrap_counts)
+    assert not os.path.exists(ckpt + ".em.npz")
+
+    # wrong-shape snapshot is ignored, not fatal
+    save_em_snapshot(ckpt + ".em.npz", np.ones(3), 7)
+    again = Quantifier(index, cfg).quantify_files([fq],
+                                                  checkpoint_path=ckpt)
+    np.testing.assert_allclose(again.est_counts, fresh.est_counts,
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_old_format_checkpoint_rejected(tmp_path):
     import json
 
