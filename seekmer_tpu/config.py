@@ -74,6 +74,11 @@ class MapConfig:
     sig_table_bits: int = 20
     # Probe rounds when claiming a signature slot.
     sig_probe: int = 32
+    # Audit the fingerprint approximation: every resolved read re-reads its
+    # slot's stored signature row and a mismatch (a 64-bit collision merged
+    # two distinct signatures) is counted into MapResult.collisions. One
+    # extra (B, C)-row gather per batch (map/signature.accumulate).
+    collision_audit: bool = True
     # Paired-end: a mate with zero k-mer hits contributes nothing (wildcard);
     # both mates empty => unmapped. Matches intersect-mates semantics
     # (reference mapper.py paired-end handling [BASELINE.json:8]).

@@ -69,7 +69,7 @@ class DeviceIndex:
 
 
 def merge_sig_rows(sig: np.ndarray, count: np.ndarray, total_reads: int,
-                   overflow: int) -> "MapResult":
+                   overflow: int, collisions: int = 0) -> "MapResult":
     """Merge raw signature-table rows (possibly from many chips/hosts) into
     a MapResult — the analog of the reference worker pool's join-time dict
     merge (SURVEY.md 2.1 C6), over distinct signatures.
@@ -96,8 +96,15 @@ def merge_sig_rows(sig: np.ndarray, count: np.ndarray, total_reads: int,
     if overflow:
         log.warning("%d mapped reads lost to signature-table overflow; "
                     "increase MapConfig.sig_table_bits", overflow)
+    if collisions:
+        log.warning(
+            "%d reads hit a 64-bit signature-fingerprint collision (their "
+            "counts merged into a different signature's row); raising "
+            "max_ecs_per_read does not help — this is the documented "
+            "fingerprint approximation (config.py)", collisions)
     return MapResult(sigs=sigs, sig_counts=counts, total_reads=total_reads,
-                     mapped=int(counts.sum()), overflow=overflow)
+                     mapped=int(counts.sum()), overflow=overflow,
+                     collisions=collisions)
 
 
 @dataclasses.dataclass
@@ -109,6 +116,9 @@ class MapResult:
     total_reads: int
     mapped: int
     overflow: int  # mapped reads lost to signature-table overflow
+    # reads whose counts were merged into a different signature's row by a
+    # 64-bit fingerprint collision (detected by MapConfig.collision_audit)
+    collisions: int = 0
 
     @property
     def unmapped(self) -> int:
@@ -193,13 +203,14 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             sig = jnp.concatenate([sig1, sig2], axis=1)
             mapped = mapped1 & mapped2
             return accumulate(table, sig, mapped, weights=weights,
-                              sig_probe=cfg.sig_probe)
+                              sig_probe=cfg.sig_probe,
+                              audit=cfg.collision_audit)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
     else:
         ecs = lk(hi, lo, valid)
     sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)
     return accumulate(table, sig, mapped, weights=weights,
-                      sig_probe=cfg.sig_probe)
+                      sig_probe=cfg.sig_probe, audit=cfg.collision_audit)
 
 
 class Mapper:
@@ -288,14 +299,20 @@ class Mapper:
     def finalize(self) -> MapResult:
         sigs, counts = table_to_host(self.table)
         overflow = int(self.table.overflow)
+        collisions = int(self.table.collisions)
         mapped = int(counts.sum())
         if overflow:
             log.warning(
                 "%d mapped reads lost to signature-table overflow; "
                 "increase MapConfig.sig_table_bits", overflow)
+        if collisions:
+            log.warning(
+                "%d reads hit a 64-bit signature-fingerprint collision "
+                "(counts merged into another signature's row; documented "
+                "approximation, config.py)", collisions)
         return MapResult(sigs=sigs, sig_counts=counts,
                          total_reads=self.total_reads, mapped=mapped,
-                         overflow=overflow)
+                         overflow=overflow, collisions=collisions)
 
 
 def _group_member_lists(flat: np.ndarray, lens: np.ndarray,

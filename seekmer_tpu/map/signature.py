@@ -56,6 +56,9 @@ class SigTable(NamedTuple):
     count: jnp.ndarray  # int32[S+1]
     sig: jnp.ndarray  # int32[S+1, C] claimed signature rows
     overflow: jnp.ndarray  # int32[] reads lost to probe overflow
+    collisions: jnp.ndarray  # int32[] reads whose signature row differed
+    # from the stored row of the slot their fingerprint matched (64-bit
+    # fingerprint collision -> counts of two distinct signatures merged)
 
 
 def make_sig_table(bits: int, max_ecs: int) -> SigTable:
@@ -67,6 +70,7 @@ def make_sig_table(bits: int, max_ecs: int) -> SigTable:
         count=jnp.zeros(S + 1, jnp.int32),
         sig=jnp.full((S + 1, max_ecs), SIG_PAD),
         overflow=jnp.zeros((), jnp.int32),
+        collisions=jnp.zeros((), jnp.int32),
     )
 
 
@@ -112,7 +116,7 @@ def fingerprint(sig: jnp.ndarray):
 
 def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
                weights: jnp.ndarray | None = None,
-               sig_probe: int = 32) -> SigTable:
+               sig_probe: int = 32, audit: bool = True) -> SigTable:
     """Fold one batch of read signatures into the device table.
 
     Every mapped lane runs the CAS protocol directly — no batch-local dedup
@@ -122,6 +126,12 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
     the count update is a scatter-ADD (correct under duplicates). This
     removes a multi-operand batch sort from the hot path. Donate ``table``
     at the jit boundary for in-place updates.
+
+    ``audit`` (static; MapConfig.collision_audit) re-gathers each resolved
+    lane's stored signature row and counts reads whose row differs — the
+    only observable trace of a 64-bit fingerprint collision silently
+    merging two distinct signatures (odds ~U^2/2^64, config.py). One
+    (B, C)-row gather + compare per batch.
     """
     B, C = sig.shape
     S = table.count.shape[0] - 1  # flat slots; last row is the dump slot
@@ -217,8 +227,20 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
                                (key, table.sig))
     count = count.at[dump].set(0)
     lost = jnp.where(active, w, 0).sum().astype(jnp.int32)
+    collisions = table.collisions
+    if audit:
+        # Collision audit: every resolved lane re-reads its slot's stored
+        # row and compares to its own signature. A mismatch means the lane
+        # fingerprint-matched a slot claimed by a DIFFERENT signature (or
+        # lost a same-batch double-claim to one) — its count was merged
+        # into the wrong row. Unresolved lanes gather the dump row and are
+        # masked by `resolved`.
+        stored = sigtab[add_slot]
+        mismatch = resolved & jnp.any(stored != sig, axis=1)
+        collisions = collisions + jnp.where(mismatch, w, 0).sum().astype(
+            jnp.int32)
     return SigTable(key=key, count=count, sig=sigtab,
-                    overflow=table.overflow + lost)
+                    overflow=table.overflow + lost, collisions=collisions)
 
 
 def table_to_host(table: SigTable):

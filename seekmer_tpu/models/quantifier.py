@@ -167,11 +167,14 @@ class Quantifier:
             else:
                 result = mapper.run(batches)
         self._metrics.count("reads", result.total_reads)
+        if result.collisions:
+            self._metrics.count("fingerprint_collisions", result.collisions)
         t_map = time.perf_counter() - t0
         log.info(
-            "mapped %d/%d reads (%d distinct signatures, %d overflow)",
+            "mapped %d/%d reads (%d distinct signatures, %d overflow, "
+            "%d fingerprint collisions)",
             result.mapped, result.total_reads, result.sigs.shape[0],
-            result.overflow,
+            result.overflow, result.collisions,
         )
         return self._infer(result, t_map, checkpoint_path=checkpoint_path)
 

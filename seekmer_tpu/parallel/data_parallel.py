@@ -85,6 +85,8 @@ class DataParallelMapper:
             sig=jax.device_put(tile0(local.sig), data),
             overflow=jax.device_put(
                 jnp.zeros(self.n_shards, jnp.int32), data),
+            collisions=jax.device_put(
+                jnp.zeros(self.n_shards, jnp.int32), data),
         )
         self.total_reads = 0
         self._steps: Dict[Tuple[int, bool], callable] = {}
@@ -103,16 +105,18 @@ class DataParallelMapper:
             stash_slots=self.index.stash_slots,
             bucket=self.index.bucket, k=self.index.k,
         )
-        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
+        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec,
+                            collisions=dspec)
 
         def local_step(di, table, codes, lengths, weights,
                        codes2=None, lengths2=None):
-            # overflow is per-shard: scalar inside, [1] outside
+            # overflow/collisions are per-shard: scalar inside, [1] outside
             t = SigTable(table.key, table.count, table.sig,
-                         table.overflow[0])
+                         table.overflow[0], table.collisions[0])
             t = map_step(di, cfg, t, codes, lengths, weights,
                          codes2=codes2, lengths2=lengths2)
-            return SigTable(t.key, t.count, t.sig, t.overflow[None])
+            return SigTable(t.key, t.count, t.sig, t.overflow[None],
+                            t.collisions[None])
 
         n_data = 5 + (2 if paired else 0)
         sm = jax.shard_map(
@@ -195,6 +199,7 @@ class DataParallelMapper:
             count=jax.device_put(np.asarray(table.count), data),
             sig=jax.device_put(np.asarray(table.sig), data),
             overflow=jax.device_put(np.asarray(table.overflow), data),
+            collisions=jax.device_put(np.asarray(table.collisions), data),
         )
         self.total_reads = total_reads
         return stream_state if stream_state is not None else {}
@@ -227,4 +232,6 @@ class DataParallelMapper:
         count = self._host(self.table.count)
         sig = self._host(self.table.sig)
         overflow = int(self._host(self.table.overflow).sum())
-        return merge_sig_rows(sig, count, self.total_reads, overflow)
+        collisions = int(self._host(self.table.collisions).sum())
+        return merge_sig_rows(sig, count, self.total_reads, overflow,
+                              collisions=collisions)

@@ -319,6 +319,8 @@ class PrefixShardedMapper:
             count=self._put_global(tile0(local.count), bspec),
             sig=self._put_global(tile0(local.sig), bspec),
             overflow=self._put_global(np.zeros(self.n_dev, np.int32), bspec),
+            collisions=self._put_global(
+                np.zeros(self.n_dev, np.int32), bspec),
         )
         self.total_reads = 0
         # running device-side max of per-batch extra routing rounds: no
@@ -342,7 +344,8 @@ class PrefixShardedMapper:
 
         def local_step(sdi, table, codes, lengths, weights,
                        codes2=None, lengths2=None):
-            t = SigTable(table.key, table.count, table.sig, table.overflow[0])
+            t = SigTable(table.key, table.count, table.sig, table.overflow[0],
+                         table.collisions[0])
             hi, lo, valid = pack_canonical(codes, lengths, sdi.k)
             if codes2 is not None:
                 # paired-end: both mates route through ONE dispatch
@@ -356,8 +359,10 @@ class PrefixShardedMapper:
             ecs, extra = routed_lookup(hi, lo, valid, sdi, iaxis, K)
             sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
             t = accumulate(t, sig, mapped, weights=weights,
-                           sig_probe=cfg.sig_probe)
-            return (SigTable(t.key, t.count, t.sig, t.overflow[None]),
+                           sig_probe=cfg.sig_probe,
+                           audit=cfg.collision_audit)
+            return (SigTable(t.key, t.count, t.sig, t.overflow[None],
+                             t.collisions[None]),
                     extra[None])
 
         dspec = P(both)
@@ -366,7 +371,8 @@ class PrefixShardedMapper:
             main_slots=sdi.main_slots, stash_slots=sdi.stash_slots,
             bucket=sdi.bucket, k=sdi.k, n_shards=sdi.n_shards,
         )
-        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec)
+        tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec,
+                            collisions=dspec)
         n_data = 5 + (2 if paired else 0)
 
         sm = jax.shard_map(
@@ -474,6 +480,7 @@ class PrefixShardedMapper:
             count=jax.device_put(np.asarray(table.count), dspec),
             sig=jax.device_put(np.asarray(table.sig), dspec),
             overflow=jax.device_put(np.asarray(table.overflow), dspec),
+            collisions=jax.device_put(np.asarray(table.collisions), dspec),
         )
         self.total_reads = total_reads
         return stream_state if stream_state is not None else {}
@@ -526,4 +533,6 @@ class PrefixShardedMapper:
         return merge_sig_rows(self._host(self.table.sig),
                               self._host(self.table.count),
                               self.total_reads,
-                              int(self._host(self.table.overflow).sum()))
+                              int(self._host(self.table.overflow).sum()),
+                              collisions=int(
+                                  self._host(self.table.collisions).sum()))

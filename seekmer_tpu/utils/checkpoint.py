@@ -58,6 +58,7 @@ def save_map_checkpoint(
             count=np.asarray(table.count),
             sig=np.asarray(table.sig),
             overflow=np.asarray(table.overflow),
+            collisions=np.asarray(table.collisions),
             **arrays,
         )
     os.replace(tmp, path)
@@ -82,6 +83,12 @@ def load_map_checkpoint(
             count=jnp.asarray(z["count"]),
             sig=jnp.asarray(z["sig"]),
             overflow=jnp.asarray(z["overflow"]),
+            # absent in pre-collision-audit format-3 checkpoints; default
+            # to zeros of overflow's shape (scalar single-chip, per-shard
+            # vector for the DP/prefix mappers)
+            collisions=jnp.asarray(
+                z["collisions"] if "collisions" in z.files
+                else np.zeros_like(z["overflow"])),
         )
         cm = meta["cursor"]
         cursor = None

@@ -147,7 +147,53 @@ def test_accumulate_matches_counter(rng):
     for row, n in zip(sigs, counts):
         got[tuple(row[row != int(SIG_PAD)].tolist())] += int(n)
     assert int(table.overflow) == 0
+    assert int(table.collisions) == 0  # real 64-bit fps: no collisions
     assert got == truth
+
+
+def _const_fp(sig):
+    """Degenerate fingerprint: every signature collides."""
+    B = sig.shape[0]
+    return jnp.full((B,), 7, jnp.int32), jnp.full((B,), 9, jnp.int32)
+
+
+def test_collision_audit_detects_forced_collision(monkeypatch):
+    """Two DISTINCT signatures forced onto one 64-bit fingerprint: the
+    audit (MapConfig.collision_audit -> accumulate(audit=True)) counts the
+    reads whose counts silently merged into another signature's row."""
+    import seekmer_tpu.map.signature as sigmod
+
+    monkeypatch.setattr(sigmod, "fingerprint", _const_fp)
+    C = 4
+    pad = int(SIG_PAD)
+    sig1 = np.full((2, C), pad, np.int32)
+    sig1[:, 0] = 3
+    sig2 = np.full((2, C), pad, np.int32)
+    sig2[:, 0] = 5
+    mapped = jnp.asarray(np.array([True, True]))
+
+    table = sigmod.make_sig_table(bits=4, max_ecs=C)
+    table = sigmod.accumulate(table, jnp.asarray(sig1), mapped)
+    assert int(table.collisions) == 0  # duplicates of ONE signature: fine
+    table = sigmod.accumulate(table, jnp.asarray(sig2), mapped)
+    assert int(table.collisions) == 2  # both reads merged into sig1's row
+    # counts DID merge (the approximation the audit reports):
+    _, counts = table_to_host(table)
+    assert counts.tolist() == [4]
+
+    # same-batch double-claim: one row wins the slot, the other lane's
+    # read is the collision
+    table2 = sigmod.make_sig_table(bits=4, max_ecs=C)
+    both = np.stack([sig1[0], sig2[0]])
+    table2 = sigmod.accumulate(table2, jnp.asarray(both), mapped)
+    assert int(table2.collisions) == 1
+
+    # audit off: undetected (steady-state cost knob)
+    table3 = sigmod.make_sig_table(bits=4, max_ecs=C)
+    table3 = sigmod.accumulate(table3, jnp.asarray(sig1), mapped)
+    table3 = sigmod.accumulate(table3, jnp.asarray(sig2), mapped,
+                               audit=False)
+    assert int(table3.collisions) == 0
 
 
 def test_mapper_matches_oracle(setup):
