@@ -82,6 +82,10 @@ def _add_infer(sub):
                    default="xla", help="bucket match/select kernel")
     p.add_argument("--sig-backend", choices=("xla", "pallas"),
                    default="xla", help="EC signature-extraction kernel")
+    p.add_argument("--no-h2d-pack", action="store_true",
+                   help="disable 2-bit host->device code packing "
+                        "(MapConfig.h2d_pack_2bit; on by default for the "
+                        "single-chip mapper)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host process group "
                         "(jax.distributed; set JAX_COORDINATOR_ADDRESS etc.)")
@@ -165,6 +169,7 @@ def cmd_infer(args) -> int:
             pack_backend=args.pack_backend,
             probe_backend=args.probe_backend,
             sig_backend=args.sig_backend,
+            h2d_pack_2bit=not args.no_h2d_pack,
         ),
         em=EMConfig(
             # explicit FLD flags override data-driven estimation

@@ -100,6 +100,12 @@ class MapConfig:
     # GENCODE batch sizes). 0 = auto (chunks sized so the transient stays
     # ~4 GB; 1 chunk for all standard shapes), 1 = force a single pass.
     probe_chunks: int = 0
+    # Ship code rows to the device 2-bit packed (0.375 bytes/base: 2-bit
+    # codes + invalid bitmask, unpacked exactly on-device) — 2.67x less
+    # H2D on the path end-to-end runs bottleneck on
+    # (docs/PERFORMANCE.md "End-to-end CLI run"). Single-chip mapper path;
+    # the sharded mappers feed unpacked rows.
+    h2d_pack_2bit: bool = True
     # Canonical window packing: "xla" (jnp, fused by XLA) or "pallas"
     # (ops/pack_pallas.py kernel).
     pack_backend: str = "xla"

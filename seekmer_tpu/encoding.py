@@ -117,6 +117,30 @@ def canonical_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return np.minimum(fwd, rc), ~anybad
 
 
+def pack_codes_2bit(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack uint8[B, L] base codes to 2 bits/base + an invalid bitmask.
+
+    H2D transfer layout (MapConfig.h2d_pack_2bit): the mapper ships
+    0.375 bytes/base ((L+3)//4 code bytes + (L+7)//8 mask bytes) instead
+    of 1, a 2.67x cut on exactly the path the tunneled rig bottlenecks on
+    (docs/PERFORMANCE.md "End-to-end CLI run"). Base j of read b lives at
+    bits 2*(j%4) of packed[b, j//4] (little-endian in byte); bit j%8 of
+    bad[b, j//8] marks an invalid base (code > 3). Exact inverse:
+    ops/kmer_pack.unpack_codes_2bit.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    B, L = codes.shape
+    L4 = (L + 3) // 4
+    c = codes & np.uint8(3)
+    if L % 4:
+        c = np.pad(c, ((0, 0), (0, 4 * L4 - L)))
+    c = c.reshape(B, L4, 4).astype(np.uint8)
+    packed = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+              | (c[:, :, 3] << 6)).astype(np.uint8)
+    bad = np.packbits(codes > 3, axis=1, bitorder="little")
+    return packed, bad
+
+
 def split_key(key64: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """uint64 key -> (hi, lo) int32 lanes (hi = top 2*n_hi bits)."""
     _, n_lo = n_hi_lo(k)

@@ -243,7 +243,8 @@ def detect_fusions_files(index: KMerIndex, fastq_paths: List[str],
     cfg = dataclasses.replace(cfg, paired_end=True, fusion_pairs=True)
     mapper = Mapper(index, cfg)
     batches = prefetch(device_put_batches(
-        batch_read_pairs_native(fastq_paths, mate_paths, cfg)), depth=4)
+        batch_read_pairs_native(fastq_paths, mate_paths, cfg),
+        pack_2bit=cfg.h2d_pack_2bit), depth=4)
     result = mapper.run(batches)
     return call_fusions(result, index, cfg.max_ecs_per_read,
                         min_count=min_count)

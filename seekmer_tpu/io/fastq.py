@@ -49,11 +49,18 @@ def read_fastq_many(paths: Iterable[str]) -> Iterator[bytes]:
 class ReadBatch:
     """One padded device batch (single- or paired-end)."""
 
-    codes: np.ndarray  # uint8[B, L] (INVALID-padded)
+    codes: np.ndarray  # uint8[B, L] (INVALID-padded); 2-bit-packed
+    # uint8[B, (L+3)//4] when pad_len is set (encoding.pack_codes_2bit)
     lengths: np.ndarray  # int32[B]
     weights: np.ndarray  # int32[B] 1 = real read, 0 = pad row
     codes2: Optional[np.ndarray] = None  # mate 2 (paired-end)
     lengths2: Optional[np.ndarray] = None
+    # 2-bit H2D packing (MapConfig.h2d_pack_2bit, set by
+    # utils.prefetch.device_put_batches): invalid-base bitmasks + the
+    # unpacked padded length L; pad_len is not None <=> codes are packed
+    bad: Optional[np.ndarray] = None  # uint8[B, (L+7)//8]
+    bad2: Optional[np.ndarray] = None
+    pad_len: Optional[int] = None
     # set by utils.prefetch.device_put_batches before weights moves to the
     # device, so n_real never forces a device sync in the feed loop
     n_real_cached: Optional[int] = None
@@ -70,7 +77,26 @@ class ReadBatch:
 
     @property
     def bucket(self) -> int:
-        return self.codes.shape[1]
+        return self.pad_len if self.pad_len is not None \
+            else self.codes.shape[1]
+
+
+def pack_batch_2bit(b: ReadBatch) -> ReadBatch:
+    """2-bit-pack a batch's code rows host-side (no-op if already packed).
+
+    Cuts H2D bytes 2.67x (encoding.pack_codes_2bit); the device map step
+    unpacks exactly (ops/kmer_pack.unpack_codes_2bit)."""
+    if b.pad_len is not None:
+        return b
+    from ..encoding import pack_codes_2bit
+
+    L = b.codes.shape[1]
+    codes, bad = pack_codes_2bit(b.codes)
+    codes2 = bad2 = None
+    if b.codes2 is not None:
+        codes2, bad2 = pack_codes_2bit(b.codes2)
+    return dataclasses.replace(b, codes=codes, bad=bad, codes2=codes2,
+                               bad2=bad2, pad_len=L)
 
 
 def _bucket_of(length: int, cfg: MapConfig) -> int:

@@ -136,10 +136,21 @@ def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
 
 
 def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
-             codes, lengths, weights, codes2=None, lengths2=None) -> SigTable:
-    """One device mapping step (jit-traced per bucket shape)."""
+             codes, lengths, weights, codes2=None, lengths2=None,
+             bad=None, bad2=None, pad_len=None) -> SigTable:
+    """One device mapping step (jit-traced per bucket shape).
+
+    ``pad_len`` set (static) means ``codes``/``codes2`` arrive 2-bit
+    packed with ``bad`` invalid-base bitmasks (MapConfig.h2d_pack_2bit,
+    2.67x less H2D); they are unpacked exactly on-device first."""
     di = device_index
     stride = cfg.probe_stride
+    if pad_len is not None:
+        from ..ops.kmer_pack import unpack_codes_2bit
+
+        codes = unpack_codes_2bit(codes, bad, pad_len)
+        if codes2 is not None:
+            codes2 = unpack_codes_2bit(codes2, bad2, pad_len)
 
     if cfg.pack_backend == "pallas":
         from ..em.em import _pallas_interpret
@@ -226,27 +237,34 @@ class Mapper:
         self.total_reads = 0
         self._steps: Dict[Tuple[int, bool], callable] = {}
 
-    def _get_step(self, bucket: int, paired: bool):
-        key = (bucket, paired)
+    def _get_step(self, bucket: int, paired: bool, packed: bool = False):
+        key = (bucket, paired, packed)
         if key not in self._steps:
             cfg = self.cfg
+            pad_len = bucket if packed else None
 
             # device_index is a real argument, NOT a closure: closed-over
             # arrays are baked into the program as constants and would be
             # re-uploaded to the compiler with every trace (a GENCODE-scale
             # table even exceeds the remote compiler's request limit).
             def fn(di, table, *args, **kwargs):
-                return map_step(di, cfg, table, *args, **kwargs)
+                return map_step(di, cfg, table, *args, pad_len=pad_len,
+                                **kwargs)
 
             self._steps[key] = jax.jit(fn, donate_argnums=(1,))
         return self._steps[key]
 
     def feed(self, batch: ReadBatch) -> None:
         paired = batch.codes2 is not None
-        step = self._get_step(batch.bucket, paired)
+        packed = batch.pad_len is not None
+        step = self._get_step(batch.bucket, paired, packed)
         kwargs = {}
         if paired:
             kwargs = dict(codes2=batch.codes2, lengths2=batch.lengths2)
+        if packed:
+            kwargs["bad"] = batch.bad
+            if paired:
+                kwargs["bad2"] = batch.bad2
         self.table = step(self.device_index, self.table, batch.codes,
                           batch.lengths, batch.weights, **kwargs)
         self.total_reads += batch.n_real
@@ -359,9 +377,18 @@ def _group_member_lists(flat: np.ndarray, lens: np.ndarray,
 def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
                           checkpoint_path: Optional[str],
                           checkpoint_every: int) -> "MapResult":
-    """Shared feed loop with cursor-aware checkpointing (Mapper and
-    DataParallelMapper). A save becomes DUE every checkpoint_every batches
-    and happens at the next batch carrying a resume cursor."""
+    """Shared feed loop with cursor-aware checkpointing (Mapper and the
+    sharded mappers). A save becomes DUE every checkpoint_every batches
+    and happens at the next batch carrying a resume cursor.
+
+    Multi-process: save_checkpoint is COLLECTIVE, so the "this batch has
+    a cursor" decision is agreed across processes first (hosts stream
+    different files, so cursor-bearing batch indices can differ; saving
+    only when every host has one keeps the collective in lockstep —
+    feeds themselves are already collective, so batch indices align)."""
+    import jax
+
+    multi = jax.process_count() > 1
     n = 0
     due = False
     warned = False
@@ -374,7 +401,13 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
             last_cursor = cur
         if checkpoint_path:
             due = due or (n % checkpoint_every == 0)
-            if due and cur is not None:
+            have = cur is not None
+            if due and multi:
+                from jax.experimental import multihost_utils
+
+                have = bool(multihost_utils.process_allgather(
+                    np.asarray(have)).all())
+            if due and have:
                 mapper.save_checkpoint(checkpoint_path, stream_state=cur)
                 due = False
             elif due and last_cursor is None and not warned:

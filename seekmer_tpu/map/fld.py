@@ -198,27 +198,38 @@ class FLDEstimator:
     def active(self) -> bool:
         return self._fed < self.sample_batches
 
-    def _get_step(self, bucket_shape: int):
-        if bucket_shape not in self._steps:
+    def _get_step(self, bucket_shape: int, packed: bool = False):
+        key = (bucket_shape, packed)
+        if key not in self._steps:
             k, ms, G = self.k, self.main_slots, self.bucket
             ob, offs = self.owner_bits, self.offsets
+            L = bucket_shape if packed else None
 
-            def fn(table, fld_tid, fld_pos, hist, c1, l1, c2, l2):
+            def fn(table, fld_tid, fld_pos, hist, c1, l1, c2, l2,
+                   bad1=None, bad2=None):
+                if L is not None:  # 2-bit-packed H2D batches
+                    from ..ops.kmer_pack import unpack_codes_2bit
+
+                    c1 = unpack_codes_2bit(c1, bad1, L)
+                    c2 = unpack_codes_2bit(c2, bad2, L)
                 return fld_step(table, fld_tid, fld_pos, hist, c1, l1,
                                 c2, l2, k, ms, G, offsets=offs,
                                 owner_bits=ob)
 
-            self._steps[bucket_shape] = jax.jit(fn, donate_argnums=(3,))
-        return self._steps[bucket_shape]
+            self._steps[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._steps[key]
 
     def feed(self, batch) -> None:
         """Sample a paired ReadBatch (no-op once enough batches are fed)."""
         if not self.active or batch.codes2 is None:
             return
-        step = self._get_step(batch.bucket)
+        packed = batch.pad_len is not None
+        step = self._get_step(batch.bucket, packed)
+        extra = (batch.bad, batch.bad2) if packed else ()
         self.hist = step(self._table_ref.table, self.fld_tid,
                          self.fld_pos, self.hist, batch.codes,
-                         batch.lengths, batch.codes2, batch.lengths2)
+                         batch.lengths, batch.codes2, batch.lengths2,
+                         *extra)
         self._fed += 1
         if not self.active:  # free the payload HBM once sampling is done
             self.fld_tid = self.fld_pos = None

@@ -147,10 +147,14 @@ class Quantifier:
         # emitting the BASELINE metric names (reads_per_s,
         # em_iterations_per_s) into QuantResult.timings -> run_info.json
         self._metrics = Metrics()
-        batches = prefetch(device_put_batches(batches), depth=4)
-        t0 = time.perf_counter()
         if mapper is None:
             mapper = self._make_mapper()
+        # 2-bit H2D packing: single-chip mapper only (the sharded mappers
+        # feed per-host slices of unpacked rows)
+        pack_2bit = self.cfg.map.h2d_pack_2bit and type(mapper) is Mapper
+        batches = prefetch(device_put_batches(batches, pack_2bit=pack_2bit),
+                           depth=4)
+        t0 = time.perf_counter()
         self._fld_est = None
         if (self.cfg.em.estimate_fld and self.index.fld_tid is not None
                 and hasattr(mapper, "make_fld_estimator")):

@@ -18,6 +18,32 @@ import jax.numpy as jnp
 from ..encoding import n_hi_lo
 
 
+def unpack_codes_2bit(packed: jnp.ndarray, bad: jnp.ndarray,
+                      L: int) -> jnp.ndarray:
+    """Device-side inverse of encoding.pack_codes_2bit.
+
+    Args:
+      packed: uint8[B, (L+3)//4] — base j at bits 2*(j%4) of byte j//4.
+      bad: uint8[B, (L+7)//8] — bit j%8 of byte j//8 marks invalid base j.
+      L: unpacked padded read length (static).
+
+    Returns int32[B, L] codes (0..3 valid, 4 invalid) — bit-exact with the
+    uint8 rows the host would otherwise ship, at 0.375 bytes/base of H2D.
+    Pure VPU shifts/selects; XLA fuses this into pack_canonical's window
+    pack, so the unpack adds no materialized (B, L) HBM round-trip.
+    """
+    B = packed.shape[0]
+    p = packed.astype(jnp.int32)
+    shifts = (jnp.arange(4, dtype=jnp.int32) * 2)[None, None, :]
+    c = (p[:, :, None] >> shifts) & 3  # (B, L4, 4)
+    c = c.reshape(B, -1)[:, :L]
+    b = bad.astype(jnp.int32)
+    bshifts = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    m = (b[:, :, None] >> bshifts) & 1  # (B, L8, 8)
+    m = m.reshape(B, -1)[:, :L]
+    return jnp.where(m == 1, jnp.int32(4), c)
+
+
 def pack_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
     """Canonical k-mers of every window of a padded read batch.
 

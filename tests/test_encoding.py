@@ -65,3 +65,23 @@ def test_canonical_is_strand_invariant(rng):
     k1, v1 = enc.canonical_kmers(enc.seq_to_codes(seq), k)
     k2, v2 = enc.canonical_kmers(enc.seq_to_codes(rc_seq), k)
     assert sorted(k1[v1].tolist()) == sorted(k2[v2].tolist())
+
+
+def test_pack_codes_2bit_roundtrip(rng):
+    """Host 2-bit pack -> device unpack is bit-exact, incl. invalid bases
+    and non-multiple-of-4/8 lengths (the H2D layout of
+    MapConfig.h2d_pack_2bit)."""
+    import jax.numpy as jnp
+
+    from seekmer_tpu.encoding import pack_codes_2bit
+    from seekmer_tpu.ops.kmer_pack import unpack_codes_2bit
+
+    for L in (1, 7, 8, 37, 64, 100):
+        codes = rng.integers(0, 5, size=(16, L)).astype(np.uint8)
+        codes[0, :] = 4  # fully invalid row
+        packed, bad = pack_codes_2bit(codes)
+        assert packed.shape == (16, (L + 3) // 4)
+        assert bad.shape == (16, (L + 7) // 8)
+        out = np.asarray(unpack_codes_2bit(jnp.asarray(packed),
+                                           jnp.asarray(bad), L))
+        assert (out == codes).all()

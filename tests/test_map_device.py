@@ -242,3 +242,39 @@ def test_paired_strided_matches_dense(rng):
         results[stride] = {tuple(s.tolist()): int(n)
                            for s, n in zip(r.sigs, r.sig_counts)}
     assert results[1] == results[3]
+
+
+def test_mapper_packed_h2d_matches_unpacked(setup):
+    """Feeding 2-bit-packed batches (MapConfig.h2d_pack_2bit path) gives
+    the identical MapResult as unpacked rows — the unpack is exact."""
+    from seekmer_tpu.io.fastq import pack_batch_2bit
+    from seekmer_tpu.utils.prefetch import device_put_batches
+
+    index, seqs, sim = setup
+    cfg = MapConfig(batch_size=128, max_ecs_per_read=8, sig_table_bits=12)
+    reads_b = [r.encode() for r in sim.reads1]
+
+    m1 = Mapper(index, cfg)
+    r1 = m1.run(batch_reads(reads_b, cfg))
+    m2 = Mapper(index, cfg)
+    r2 = m2.run(device_put_batches(batch_reads(reads_b, cfg),
+                                   pack_2bit=True))
+    assert r1.total_reads == r2.total_reads
+    assert r1.mapped == r2.mapped
+    assert (r1.sigs == r2.sigs).all()
+    assert (r1.sig_counts == r2.sig_counts).all()
+
+
+def test_sharded_mappers_reject_packed_batches(setup):
+    from seekmer_tpu.config import ShardConfig
+    from seekmer_tpu.io.fastq import pack_batch_2bit, ReadBatch
+    from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+
+    index, seqs, sim = setup
+    cfg = MapConfig(batch_size=16, sig_table_bits=10)
+    dp = DataParallelMapper(index, cfg, ShardConfig(data_axis=8))
+    b = ReadBatch(codes=np.full((16, 64), 4, np.uint8),
+                  lengths=np.full(16, 64, np.int32),
+                  weights=np.ones(16, np.int32))
+    with pytest.raises(ValueError, match="single-chip"):
+        dp.feed(pack_batch_2bit(b))
