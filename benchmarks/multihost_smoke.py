@@ -126,7 +126,7 @@ def worker(process_id: int) -> None:
     mesh_px = make_mesh(shard_px)
     batches = list(batch_read_pairs(pairs, cfg_px))
     px = PrefixShardedMapper(index, cfg_px, shard_px, mesh=mesh_px)
-    assert not px.supports_checkpoint()  # multi-process: no per-host cursors
+    assert px.supports_checkpoint()  # multi-process via per-host cursors
     B_local = Bg // NPROC
     lo, hi_ = process_id * B_local, (process_id + 1) * B_local
     for b in batches:
@@ -146,13 +146,68 @@ def worker(process_id: int) -> None:
           f"processes: {res_px.mapped}/{res_px.total_reads} mapped == "
           f"single-chip (extra routing rounds: "
           f"{px.extra_routing_rounds})", flush=True)
+
+    # MULTI-PROCESS checkpoint/resume (SURVEY.md 5.3 — no mode
+    # carve-outs): each host streams its OWN FASTQ shard through a
+    # cursor-bearing source; the run checkpoints mid-stream (collective
+    # save: one allgathered global table + step-stamped per-host cursor
+    # sidecars, parallel/ckpt_mp.py); a NEW mapper restores and finishes;
+    # the merged result must equal the uninterrupted run's exactly.
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    workdir = os.environ["SEEKMER_SMOKE_DIR"]
+    B_loc = Bg // NPROC
+    rng = np.random.default_rng(3 + process_id)  # DIFFERENT data per host
+    simc = simulate_reads(rng, seqs, num_reads=3 * B_loc, read_len=L)
+    fq = os.path.join(workdir, f"ckpt_reads_p{process_id}.fq")
+    with open(fq, "w") as fh:
+        for i, r in enumerate(simc.reads1):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    ckpt = os.path.join(workdir, "mp.ckpt.npz")
+    cfg_src = MapConfig(batch_size=B_loc, sig_table_bits=12)
+
+    def make_src():
+        src = CheckpointableBatchSource([fq], cfg=cfg_src)
+        # decode chunk == one batch -> every batch carries a cursor, so
+        # the mid-stream save lands at the same batch index on every
+        # host (the collective save must stay aligned)
+        src.CHUNK = B_loc
+        return src
+
+    full_mp = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh).run(
+        iter(make_src()))
+
+    m1 = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh)
+    fed = 0
+    for b in iter(make_src()):
+        m1.feed(b)
+        fed += 1
+        if fed == 2:  # fixed index: the collective save stays aligned
+            assert b.cursor is not None
+            m1.save_checkpoint(ckpt, stream_state=b.cursor)
+            break
+
+    m2 = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh)
+    src2 = make_src()
+    state = m2.restore_checkpoint(ckpt)
+    assert state, state  # this host's cursor came back
+    src2.restore(state)
+    res_mp = m2.run(iter(src2))
+    assert res_mp.total_reads == full_mp.total_reads == 2 * 3 * B_loc
+    assert as_dict(res_mp) == as_dict(full_mp)
+    print(f"[proc {process_id}] multi-process checkpoint/resume: "
+          f"{res_mp.mapped}/{res_mp.total_reads} mapped == uninterrupted",
+          flush=True)
     jax.distributed.shutdown()
 
 
 def launcher() -> int:
+    import tempfile
+
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = REPO
+    env["SEEKMER_SMOKE_DIR"] = tempfile.mkdtemp(prefix="seekmer_smoke_")
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--worker", str(i)],

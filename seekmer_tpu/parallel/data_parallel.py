@@ -89,6 +89,7 @@ class DataParallelMapper:
                 jnp.zeros(self.n_shards, jnp.int32), data),
         )
         self.total_reads = 0
+        self._ckpt_step = 0
         self._steps: Dict[Tuple[int, bool], callable] = {}
 
     def _get_step(self, bucket: int, paired: bool):
@@ -142,6 +143,10 @@ class DataParallelMapper:
         return jax.device_put(arr, dshard)
 
     def feed(self, batch: ReadBatch) -> None:
+        if batch.pad_len is not None:
+            raise ValueError(
+                "2-bit-packed batches are single-chip-mapper only; feed "
+                "unpacked rows (device_put_batches(pack_2bit=False))")
         paired = batch.codes2 is not None
         step = self._get_step(batch.bucket, paired)
         put = self._put_batch
@@ -161,45 +166,60 @@ class DataParallelMapper:
 
     def save_checkpoint(self, path: str, stream_state=None) -> None:
         """Checkpoint the SHARDED signature table (global array pulled to
-        host) + resume cursor. Multi-chip, single-process (SURVEY.md 5.3;
-        multi-process runs would need per-host cursors — unsupported)."""
+        host) + resume cursor. Multi-process: one allgathered global
+        table + per-host cursor sidecars, step-stamped for consistency
+        (parallel/ckpt_mp.py; collective — every process calls this at
+        the same feed index, which _run_with_checkpoints guarantees)."""
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process checkpointing requires per-host stream "
-                "cursors; run checkpointed jobs single-process")
+            from .ckpt_mp import save_sharded_checkpoint
+
+            self._ckpt_step += 1
+            save_sharded_checkpoint(path, self.table, self.total_reads,
+                                    stream_state, self._host,
+                                    self._ckpt_step)
+            return
         from ..utils.checkpoint import save_map_checkpoint
 
         host = SigTable(*(np.asarray(x) for x in self.table))
         save_map_checkpoint(path, host, self.total_reads, stream_state)
 
     def supports_checkpoint(self) -> bool:
-        """Checkpointing needs per-host stream cursors; single-process
-        only (the quantifier checks this before feeding so an unsupported
-        run degrades to a warning instead of raising mid-run)."""
-        return jax.process_count() == 1
+        return True
 
     def restore_checkpoint(self, path: str):
         """Restore the sharded table (re-placed with this mapper's data
-        sharding); returns the stream cursor ({} when the checkpoint has
-        none), or None if no checkpoint exists."""
-        from ..utils.checkpoint import load_map_checkpoint
+        sharding); returns the stream cursor — this HOST's cursor on
+        multi-process runs — ({} when the checkpoint has none), or None
+        if no checkpoint exists."""
+        data = _shard_spec(self.mesh, self.shard_cfg,
+                           self.shard_cfg.data_axis_name)
+        if jax.process_count() > 1:
+            from .ckpt_mp import place_global, restore_sharded_checkpoint
 
-        loaded = load_map_checkpoint(path)
-        if loaded is None:
-            return None
-        table, total_reads, stream_state = loaded
-        if np.asarray(table.count).shape != np.asarray(self.table.count).shape:
+            loaded = restore_sharded_checkpoint(path)
+            if loaded is None:
+                return None
+            table, total_reads, stream_state, step = loaded
+            self._ckpt_step = step
+            put = lambda x: place_global(np.asarray(x), data)
+        else:
+            from ..utils.checkpoint import load_map_checkpoint
+
+            loaded = load_map_checkpoint(path)
+            if loaded is None:
+                return None
+            table, total_reads, stream_state = loaded
+            put = lambda x: jax.device_put(np.asarray(x), data)
+        if np.asarray(table.count).shape != self.table.count.shape:
             raise ValueError(
                 "checkpoint table shape does not match this mapper's mesh/"
                 "sig_table_bits configuration")
-        data = _shard_spec(self.mesh, self.shard_cfg,
-                           self.shard_cfg.data_axis_name)
         self.table = SigTable(
-            key=jax.device_put(np.asarray(table.key), data),
-            count=jax.device_put(np.asarray(table.count), data),
-            sig=jax.device_put(np.asarray(table.sig), data),
-            overflow=jax.device_put(np.asarray(table.overflow), data),
-            collisions=jax.device_put(np.asarray(table.collisions), data),
+            key=put(table.key),
+            count=put(table.count),
+            sig=put(table.sig),
+            overflow=put(table.overflow),
+            collisions=put(table.collisions),
         )
         self.total_reads = total_reads
         return stream_state if stream_state is not None else {}

@@ -323,6 +323,7 @@ class PrefixShardedMapper:
                 np.zeros(self.n_dev, np.int32), bspec),
         )
         self.total_reads = 0
+        self._ckpt_step = 0
         # running device-side max of per-batch extra routing rounds: no
         # per-feed sync, O(1) buffers (a list of per-batch arrays grew
         # with run length)
@@ -411,6 +412,10 @@ class PrefixShardedMapper:
         return jax.device_put(arr, dspec)
 
     def feed(self, batch: ReadBatch) -> None:
+        if batch.pad_len is not None:
+            raise ValueError(
+                "2-bit-packed batches are single-chip-mapper only; feed "
+                "unpacked rows (device_put_batches(pack_2bit=False))")
         paired = batch.codes2 is not None
         step = self._get_step(batch.bucket, paired)
         put = self._put_batch
@@ -445,42 +450,59 @@ class PrefixShardedMapper:
 
     def save_checkpoint(self, path: str, stream_state=None) -> None:
         """Checkpoint the sharded signature table (global array pulled to
-        host) + resume cursor — the DP mapper's pattern
-        (parallel/data_parallel.py save_checkpoint). Single-process
-        multi-chip; multi-process runs need per-host cursors."""
+        host) + resume cursor — the DP mapper's pattern, table sharded
+        over BOTH mesh axes. Multi-process: allgathered global table +
+        step-stamped per-host cursor sidecars (parallel/ckpt_mp.py;
+        collective)."""
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process checkpointing requires per-host stream "
-                "cursors; run checkpointed jobs single-process")
+            from .ckpt_mp import save_sharded_checkpoint
+
+            self._ckpt_step += 1
+            save_sharded_checkpoint(path, self.table, self.total_reads,
+                                    stream_state, self._host,
+                                    self._ckpt_step)
+            return
         from ..utils.checkpoint import save_map_checkpoint
 
         host = SigTable(*(np.asarray(x) for x in self.table))
         save_map_checkpoint(path, host, self.total_reads, stream_state)
 
     def supports_checkpoint(self) -> bool:
-        return jax.process_count() == 1
+        return True
 
     def restore_checkpoint(self, path: str):
         """Restore the sharded table (re-placed with this mapper's
-        both-axes data sharding); returns the stream cursor ({} when the
-        checkpoint carries none) or None if no checkpoint exists."""
-        from ..utils.checkpoint import load_map_checkpoint
+        both-axes data sharding); returns the stream cursor — this HOST's
+        cursor on multi-process runs — ({} when the checkpoint carries
+        none) or None if no checkpoint exists."""
+        dspec = NamedSharding(self.mesh, P(self.both_axes))
+        if jax.process_count() > 1:
+            from .ckpt_mp import place_global, restore_sharded_checkpoint
 
-        loaded = load_map_checkpoint(path)
-        if loaded is None:
-            return None
-        table, total_reads, stream_state = loaded
-        if np.asarray(table.count).shape != np.asarray(self.table.count).shape:
+            loaded = restore_sharded_checkpoint(path)
+            if loaded is None:
+                return None
+            table, total_reads, stream_state, step = loaded
+            self._ckpt_step = step
+            put = lambda x: place_global(np.asarray(x), dspec)
+        else:
+            from ..utils.checkpoint import load_map_checkpoint
+
+            loaded = load_map_checkpoint(path)
+            if loaded is None:
+                return None
+            table, total_reads, stream_state = loaded
+            put = lambda x: jax.device_put(np.asarray(x), dspec)
+        if np.asarray(table.count).shape != self.table.count.shape:
             raise ValueError(
                 "checkpoint table shape does not match this mapper's mesh/"
                 "sig_table_bits configuration")
-        dspec = NamedSharding(self.mesh, P(self.both_axes))
         self.table = SigTable(
-            key=jax.device_put(np.asarray(table.key), dspec),
-            count=jax.device_put(np.asarray(table.count), dspec),
-            sig=jax.device_put(np.asarray(table.sig), dspec),
-            overflow=jax.device_put(np.asarray(table.overflow), dspec),
-            collisions=jax.device_put(np.asarray(table.collisions), dspec),
+            key=put(table.key),
+            count=put(table.count),
+            sig=put(table.sig),
+            overflow=put(table.overflow),
+            collisions=put(table.collisions),
         )
         self.total_reads = total_reads
         return stream_state if stream_state is not None else {}

@@ -28,27 +28,50 @@ import numpy as np
 FORMAT = 3
 
 
+def _cursor_to_arrays(stream_state: Optional[dict]):
+    """CheckpointableBatchSource cursor -> (json-able meta, npz arrays)."""
+    if stream_state is None:
+        return None, {}
+    cursor_meta = {k: stream_state[k] for k in ("v", "paired", "s1", "s2")}
+    cursor_meta["buckets"] = sorted(stream_state["pending"])
+    arrays = {}
+    for bucket, d in stream_state["pending"].items():
+        for name, arr in d.items():
+            arrays[f"pend_{bucket}_{name}"] = arr
+    return cursor_meta, arrays
+
+
+def _cursor_from_npz(z, cm: Optional[dict]) -> Optional[dict]:
+    if cm is None:
+        return None
+    pending = {}
+    for bucket in cm["buckets"]:
+        pending[int(bucket)] = {
+            name: z[f"pend_{bucket}_{name}"]
+            for name in ("c1", "l1", "c2", "l2")
+            if f"pend_{bucket}_{name}" in z.files
+        }
+    return {"v": cm["v"], "paired": cm["paired"], "s1": cm["s1"],
+            "s2": cm["s2"], "pending": pending}
+
+
 def save_map_checkpoint(
     path: str,
     table,
     total_reads: int,
     stream_state: Optional[dict],
+    step: int = 0,
 ) -> None:
     """Write the signature-table state + resume cursor atomically.
 
     ``stream_state`` is a CheckpointableBatchSource cursor (or None);
     its pending buffers are stored as first-class npz arrays
-    (allow_pickle stays False)."""
-    cursor_meta = None
-    arrays = {}
-    if stream_state is not None:
-        cursor_meta = {k: stream_state[k] for k in ("v", "paired", "s1", "s2")}
-        cursor_meta["buckets"] = sorted(stream_state["pending"])
-        for bucket, d in stream_state["pending"].items():
-            for name, arr in d.items():
-                arrays[f"pend_{bucket}_{name}"] = arr
+    (allow_pickle stays False). ``step`` is a monotonically increasing
+    save counter used by multi-process checkpoints to prove the table
+    file and the per-host cursor sidecars came from the SAME save."""
+    cursor_meta, arrays = _cursor_to_arrays(stream_state)
     meta = dict(format=FORMAT, total_reads=int(total_reads),
-                cursor=cursor_meta)
+                cursor=cursor_meta, step=int(step))
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as fh:
         np.savez_compressed(
@@ -66,8 +89,9 @@ def save_map_checkpoint(
 
 def load_map_checkpoint(
     path: str,
-) -> Optional[Tuple[object, int, Optional[dict]]]:
-    """Returns (SigTable, total_reads, cursor) or None if absent."""
+    with_step: bool = False,
+):
+    """Returns (SigTable, total_reads, cursor[, step]) or None if absent."""
     from ..map.signature import SigTable
 
     if not os.path.exists(path):
@@ -90,19 +114,51 @@ def load_map_checkpoint(
                 z["collisions"] if "collisions" in z.files
                 else np.zeros_like(z["overflow"])),
         )
-        cm = meta["cursor"]
-        cursor = None
-        if cm is not None:
-            pending = {}
-            for bucket in cm["buckets"]:
-                pending[int(bucket)] = {
-                    name: z[f"pend_{bucket}_{name}"]
-                    for name in ("c1", "l1", "c2", "l2")
-                    if f"pend_{bucket}_{name}" in z.files
-                }
-            cursor = {"v": cm["v"], "paired": cm["paired"], "s1": cm["s1"],
-                      "s2": cm["s2"], "pending": pending}
+        cursor = _cursor_from_npz(z, meta["cursor"])
+        if with_step:
+            return table, meta["total_reads"], cursor, meta.get("step", 0)
         return table, meta["total_reads"], cursor
+
+
+def host_cursor_path(path: str, process_index: int) -> str:
+    return f"{path}.host{process_index}.npz"
+
+
+def save_host_cursor(path: str, process_index: int,
+                     stream_state: Optional[dict], total_reads: int,
+                     step: int) -> None:
+    """Per-host cursor sidecar for MULTI-PROCESS checkpoints (SURVEY.md
+    5.3): each host's read-stream position + per-host read counter, stamped
+    with the save's ``step`` so restore can prove the global table file and
+    every sidecar came from the same save."""
+    cursor_meta, arrays = _cursor_to_arrays(stream_state)
+    meta = dict(format=FORMAT, total_reads=int(total_reads),
+                cursor=cursor_meta, step=int(step),
+                process_index=int(process_index))
+    out = host_cursor_path(path, process_index)
+    tmp = out + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
+        )
+    os.replace(tmp, out)
+
+
+def load_host_cursor(
+    path: str, process_index: int
+) -> Optional[Tuple[Optional[dict], int, int]]:
+    """Returns (cursor, total_reads, step) or None if absent."""
+    out = host_cursor_path(path, process_index)
+    if not os.path.exists(out):
+        return None
+    with np.load(out, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta["format"] != FORMAT:
+            raise ValueError(f"cursor format {meta['format']} != {FORMAT}")
+        cursor = _cursor_from_npz(z, meta["cursor"])
+        return cursor, meta["total_reads"], meta.get("step", 0)
 
 
 def save_em_snapshot(path: str, alpha: np.ndarray, iteration: int) -> None:
