@@ -9,10 +9,12 @@ Prints ONE JSON line:
 vs_baseline: the project target is >= 10x a single-CPU-core mapper
 [BASELINE.json:5]; no published reference numbers exist (BASELINE.md — the
 reference mount is empty, SURVEY.md section 0). We therefore measure a
-single-core CPU baseline in-process (the numpy/dict oracle mapper over a
-sample of reads, the same algorithm class as the reference's Cython loop)
-and report vs_baseline = device_rps / (10 * cpu_rps): >= 1.0 means the 10x
-target is met against that measured stand-in.
+single-core CPU baseline in-process — a COMPILED single-threaded C mapper
+of the reference's algorithm class (native/cpu_baseline.c, semantics
+oracle-verified; the slower numpy/dict oracle rate is also reported for
+continuity with rounds 1-2) — and report
+vs_baseline = device_rps / (10 * cpu_rps): >= 1.0 means the 10x target is
+met against that measured stand-in.
 
 Timing protocol: the device step (pack -> probe -> signature -> accumulate)
 is fed pre-packed batches; one warmup batch triggers compilation, then the
@@ -200,18 +202,41 @@ def main() -> int:
     log(f"[bench] EM steady-state: {em_ss_it_s:,.0f} it/s "
         f"({reps}x{int(it_ss)} fixed iters)")
 
-    # single-CPU-core baseline (oracle mapper, same algorithm class as the
-    # reference's single-threaded Cython inner loop)
+    # single-CPU-core baselines. Two stand-ins for the missing reference
+    # binary (SURVEY.md section 0):
+    #   1. COMPILED C single-thread mapper (native/cpu_baseline.c) — the
+    #      honest analog of the reference's Cython kernel; vs_baseline is
+    #      computed against THIS (VERDICT r2 weak item 1);
+    #   2. the numpy/dict oracle loop — retained in extra for continuity
+    #      with BENCH_r01/r02.
     sample = codes[0][: args.cpu_sample]
     kdict = orc.build_kmer_dict(index)
-    from seekmer_tpu.encoding import codes_to_seq
 
     t0 = time.perf_counter()
     for row in sample:
         orc.map_read(row, kdict, index.k)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rps = args.cpu_sample / cpu_dt
-    log(f"[bench] CPU 1-core oracle: {cpu_rps:,.0f} reads/s")
+    oracle_dt = time.perf_counter() - t0
+    oracle_rps = args.cpu_sample / oracle_dt
+    log(f"[bench] CPU 1-core oracle (numpy/dict): {oracle_rps:,.0f} reads/s")
+
+    from seekmer_tpu.native.cpu_baseline import CpuBaselineMapper, get_lib
+
+    if get_lib() is not None:
+        cbm = CpuBaselineMapper(index, sig_bits=args.sig_table_bits)
+        cbm.map(codes[0][:256])  # touch table/branch predictors
+        best_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_mapped_c = cbm.map(codes[0])
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        cpu_rps = codes[0].shape[0] / best_dt
+        cpu_kind = "compiled C single-thread mapper (native/cpu_baseline.c)"
+        log(f"[bench] CPU 1-core compiled: {cpu_rps:,.0f} reads/s "
+            f"({n_mapped_c}/{codes[0].shape[0]} mapped)")
+        cbm.close()
+    else:  # no C toolchain: fall back to the oracle stand-in
+        cpu_rps = oracle_rps
+        cpu_kind = "in-process numpy/dict oracle mapper (no C toolchain)"
 
     vs_baseline = device_rps / (10.0 * cpu_rps)
     print(json.dumps({
@@ -226,13 +251,14 @@ def main() -> int:
             "em_convergence_iterations_per_s": round(em_it_s, 1),
             "tpm_max_abs_err_vs_f64_oracle": tpm_err,
             "cpu_1core_reads_per_s": round(cpu_rps, 1),
+            "cpu_1core_oracle_reads_per_s": round(oracle_rps, 1),
             # no reference binary exists on this machine (SURVEY.md 0):
             # the 10x-per-chip target [BASELINE.json:5] is measured against
-            # this in-process numpy/dict oracle mapper (same algorithm
-            # class as the reference's Cython loop, but slower than a
-            # compiled implementation would be — the true margin over a
-            # real reference CPU core is smaller than vs_baseline reads)
-            "cpu_baseline_kind": "in-process numpy/dict oracle mapper",
+            # a compiled single-threaded C mapper of the reference's
+            # algorithm class (semantics oracle-verified in
+            # tests/test_native_packer.py); the r01/r02 numpy/dict oracle
+            # rate is retained above for cross-round continuity
+            "cpu_baseline_kind": cpu_kind,
             "mapped_fraction": result.mapped / max(result.total_reads, 1),
             "n_reads": n_reads,
             "n_transcripts": args.transcripts,

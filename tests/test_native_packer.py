@@ -286,3 +286,42 @@ def test_empty_fastq(tmp_path):
         assert list(batch_reads_native([p], MapConfig(batch_size=8))) == []
         assert list(iter(CheckpointableBatchSource(
             [p], cfg=MapConfig(batch_size=8)))) == []
+
+
+def test_cpu_baseline_matches_oracle():
+    """The compiled single-core baseline (bench.py's vs_baseline stand-in
+    for the reference's Cython mapper core) must agree with the oracle on
+    mapped count and distinct-signature count — it is a BASELINE, so its
+    work has to be the real work."""
+    np_rng = np.random.default_rng(7)
+    from seekmer_tpu.index.build import build_index_from_seqs
+    from seekmer_tpu.native.cpu_baseline import CpuBaselineMapper, get_lib
+    from seekmer_tpu.utils.simulate import random_transcriptome, simulate_reads
+    from seekmer_tpu.config import MapConfig
+    from tests.oracle import oracle
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain")
+    names, seqs = random_transcriptome(
+        np_rng, num_transcripts=30, min_len=150, max_len=600,
+        shared_prefix_frac=0.5)
+    index = build_index_from_seqs(names, seqs)
+    sim = simulate_reads(np_rng, seqs, num_reads=400, read_len=100,
+                         error_rate=0.02)
+    # pack reads like the device path does (uint8 code rows, pad with 4)
+    from seekmer_tpu import encoding as enc
+
+    L = 100
+    codes = np.full((len(sim.reads1), L), 4, np.uint8)
+    for i, r in enumerate(sim.reads1):
+        c = enc.seq_to_codes(r)
+        codes[i, : c.size] = c
+
+    cfg = MapConfig()
+    o_sigs, o_unmapped = oracle.map_reads(sim.reads1, index, cfg)
+    m = CpuBaselineMapper(index, sig_bits=12)
+    mapped = m.map(codes, max_ecs=cfg.max_ecs_per_read)
+    assert mapped == len(sim.reads1) - o_unmapped
+    assert m.distinct_signatures == len(o_sigs)
+    assert m.total_mapped == mapped
+    m.close()
