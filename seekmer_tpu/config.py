@@ -77,8 +77,15 @@ class MapConfig:
     # Audit the fingerprint approximation: every resolved read re-reads its
     # slot's stored signature row and a mismatch (a 64-bit collision merged
     # two distinct signatures) is counted into MapResult.collisions. One
-    # extra (B, C)-row gather per batch (map/signature.accumulate).
+    # extra (B, C)-row gather per audited batch (map/signature.accumulate).
     collision_audit: bool = True
+    # Audit every Nth batch (1 = every batch). Auditing costs ~1.5 ms/batch
+    # (~5% of the config-1 step, measured 2026-08-21), and a collision
+    # persists in the table, so any collider whose signature recurs across
+    # batches is still caught by sampling; only colliders appearing
+    # EXCLUSIVELY in unaudited batches go unreported (the counter is a
+    # diagnostic for an ~U^2/2^64-probability event, not an exact tally).
+    collision_audit_every: int = 8
     # Paired-end: a mate with zero k-mer hits contributes nothing (wildcard);
     # both mates empty => unmapped. Matches intersect-mates semantics
     # (reference mapper.py paired-end handling [BASELINE.json:8]).

@@ -125,6 +125,16 @@ class MapResult:
         return self.total_reads - self.mapped - self.overflow
 
 
+def audit_this_batch(cfg: MapConfig, fed_batches: int) -> bool:
+    """Sampled collision auditing (config.py collision_audit_every):
+    audit batch 0 and every Nth after — a collision persists in the
+    table, so recurring colliders are caught by sampling while unaudited
+    batches skip the (B, C)-row re-gather. Shared by all three mappers."""
+    if not cfg.collision_audit:
+        return False
+    return fed_batches % max(cfg.collision_audit_every, 1) == 0
+
+
 def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
     """probe_chunks == 0 picks the chunk count that bounds the gathered
     bucket-rows transient (4*bucket int32 per lane) to ~4 GB — oversized
@@ -137,14 +147,20 @@ def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
 
 def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
              codes, lengths, weights, codes2=None, lengths2=None,
-             bad=None, bad2=None, pad_len=None) -> SigTable:
+             bad=None, bad2=None, pad_len=None, audit=None) -> SigTable:
     """One device mapping step (jit-traced per bucket shape).
 
     ``pad_len`` set (static) means ``codes``/``codes2`` arrive 2-bit
     packed with ``bad`` invalid-base bitmasks (MapConfig.h2d_pack_2bit,
-    2.67x less H2D); they are unpacked exactly on-device first."""
+    2.67x less H2D); they are unpacked exactly on-device first.
+
+    ``audit`` (static) overrides cfg.collision_audit for this step — the
+    drivers sample the audit every cfg.collision_audit_every batches
+    (config.py: ~1.5 ms/batch recovered on unaudited batches)."""
     di = device_index
     stride = cfg.probe_stride
+    if audit is None:
+        audit = cfg.collision_audit
     if pad_len is not None:
         from ..ops.kmer_pack import unpack_codes_2bit
 
@@ -215,13 +231,13 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             mapped = mapped1 & mapped2
             return accumulate(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe,
-                              audit=cfg.collision_audit)
+                              audit=audit)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
     else:
         ecs = lk(hi, lo, valid)
     sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)
     return accumulate(table, sig, mapped, weights=weights,
-                      sig_probe=cfg.sig_probe, audit=cfg.collision_audit)
+                      sig_probe=cfg.sig_probe, audit=audit)
 
 
 class Mapper:
@@ -235,10 +251,12 @@ class Mapper:
         sig_width = cfg.max_ecs_per_read * (2 if cfg.fusion_pairs else 1)
         self.table = make_sig_table(cfg.sig_table_bits, sig_width)
         self.total_reads = 0
-        self._steps: Dict[Tuple[int, bool], callable] = {}
+        self._fed_batches = 0
+        self._steps: Dict[Tuple[int, bool, bool, bool], callable] = {}
 
-    def _get_step(self, bucket: int, paired: bool, packed: bool = False):
-        key = (bucket, paired, packed)
+    def _get_step(self, bucket: int, paired: bool, packed: bool = False,
+                  audit: bool = True):
+        key = (bucket, paired, packed, audit)
         if key not in self._steps:
             cfg = self.cfg
             pad_len = bucket if packed else None
@@ -249,15 +267,20 @@ class Mapper:
             # table even exceeds the remote compiler's request limit).
             def fn(di, table, *args, **kwargs):
                 return map_step(di, cfg, table, *args, pad_len=pad_len,
-                                **kwargs)
+                                audit=audit, **kwargs)
 
             self._steps[key] = jax.jit(fn, donate_argnums=(1,))
         return self._steps[key]
 
+    def _audit_this_batch(self) -> bool:
+        return audit_this_batch(self.cfg, self._fed_batches)
+
     def feed(self, batch: ReadBatch) -> None:
         paired = batch.codes2 is not None
         packed = batch.pad_len is not None
-        step = self._get_step(batch.bucket, paired, packed)
+        step = self._get_step(batch.bucket, paired, packed,
+                              self._audit_this_batch())
+        self._fed_batches += 1
         kwargs = {}
         if paired:
             kwargs = dict(codes2=batch.codes2, lengths2=batch.lengths2)

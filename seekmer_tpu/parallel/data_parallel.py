@@ -90,10 +90,11 @@ class DataParallelMapper:
         )
         self.total_reads = 0
         self._ckpt_step = 0
-        self._steps: Dict[Tuple[int, bool], callable] = {}
+        self._fed_batches = 0
+        self._steps: Dict[Tuple[int, bool, bool], callable] = {}
 
-    def _get_step(self, bucket: int, paired: bool):
-        key = (bucket, paired)
+    def _get_step(self, bucket: int, paired: bool, audit: bool = True):
+        key = (bucket, paired, audit)
         if key in self._steps:
             return self._steps[key]
         cfg, shard_cfg, mesh = self.cfg, self.shard_cfg, self.mesh
@@ -115,7 +116,7 @@ class DataParallelMapper:
             t = SigTable(table.key, table.count, table.sig,
                          table.overflow[0], table.collisions[0])
             t = map_step(di, cfg, t, codes, lengths, weights,
-                         codes2=codes2, lengths2=lengths2)
+                         codes2=codes2, lengths2=lengths2, audit=audit)
             return SigTable(t.key, t.count, t.sig, t.overflow[None],
                             t.collisions[None])
 
@@ -147,8 +148,12 @@ class DataParallelMapper:
             raise ValueError(
                 "2-bit-packed batches are single-chip-mapper only; feed "
                 "unpacked rows (device_put_batches(pack_2bit=False))")
+        from ..map.driver import audit_this_batch
+
         paired = batch.codes2 is not None
-        step = self._get_step(batch.bucket, paired)
+        step = self._get_step(batch.bucket, paired,
+                              audit_this_batch(self.cfg, self._fed_batches))
+        self._fed_batches += 1
         put = self._put_batch
         args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
         if paired:

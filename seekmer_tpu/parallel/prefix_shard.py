@@ -324,14 +324,15 @@ class PrefixShardedMapper:
         )
         self.total_reads = 0
         self._ckpt_step = 0
+        self._fed_batches = 0
         # running device-side max of per-batch extra routing rounds: no
         # per-feed sync, O(1) buffers (a list of per-batch arrays grew
         # with run length)
         self._rounds_max = jnp.zeros((), jnp.int32)
         self._steps: Dict[Tuple[int, bool], callable] = {}
 
-    def _get_step(self, bucket: int, paired: bool):
-        key = (bucket, paired)
+    def _get_step(self, bucket: int, paired: bool, audit: bool = True):
+        key = (bucket, paired, audit)
         if key in self._steps:
             return self._steps[key]
         cfg, shard_cfg, mesh = self.cfg, self.shard_cfg, self.mesh
@@ -360,8 +361,7 @@ class PrefixShardedMapper:
             ecs, extra = routed_lookup(hi, lo, valid, sdi, iaxis, K)
             sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
             t = accumulate(t, sig, mapped, weights=weights,
-                           sig_probe=cfg.sig_probe,
-                           audit=cfg.collision_audit)
+                           sig_probe=cfg.sig_probe, audit=audit)
             return (SigTable(t.key, t.count, t.sig, t.overflow[None],
                              t.collisions[None]),
                     extra[None])
@@ -416,8 +416,12 @@ class PrefixShardedMapper:
             raise ValueError(
                 "2-bit-packed batches are single-chip-mapper only; feed "
                 "unpacked rows (device_put_batches(pack_2bit=False))")
+        from ..map.driver import audit_this_batch
+
         paired = batch.codes2 is not None
-        step = self._get_step(batch.bucket, paired)
+        step = self._get_step(batch.bucket, paired,
+                              audit_this_batch(self.cfg, self._fed_batches))
+        self._fed_batches += 1
         put = self._put_batch
         args = [put(batch.codes), put(batch.lengths), put(batch.weights)]
         if paired:

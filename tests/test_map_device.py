@@ -278,3 +278,13 @@ def test_sharded_mappers_reject_packed_batches(setup):
                   weights=np.ones(16, np.int32))
     with pytest.raises(ValueError, match="single-chip"):
         dp.feed(pack_batch_2bit(b))
+
+
+def test_audit_sampling_schedule():
+    from seekmer_tpu.map.driver import audit_this_batch
+
+    cfg = MapConfig(collision_audit_every=4)
+    assert [audit_this_batch(cfg, i) for i in range(6)] == \
+        [True, False, False, False, True, False]
+    assert audit_this_batch(MapConfig(collision_audit_every=1), 3)
+    assert not audit_this_batch(MapConfig(collision_audit=False), 0)
