@@ -560,3 +560,35 @@ def test_cursorless_checkpoint_starts_fresh(tmp_path, world):
     assert resumed.mapped == baseline.mapped  # NOT doubled
     np.testing.assert_allclose(resumed.est_counts, baseline.est_counts,
                                rtol=1e-5)
+
+
+def test_multiprocess_checkpoint_step_mismatch_refused(tmp_path, world):
+    """A multi-process checkpoint whose global table and host cursor
+    sidecar carry different save steps (crash mid-save, or a resume under
+    a different process count) must be REFUSED, not silently resumed
+    (parallel/ckpt_mp.py)."""
+    from seekmer_tpu.map.signature import make_sig_table
+    from seekmer_tpu.parallel.ckpt_mp import restore_sharded_checkpoint
+    from seekmer_tpu.utils.checkpoint import (
+        save_host_cursor, save_map_checkpoint)
+
+    path = str(tmp_path / "mp.ckpt.npz")
+    table = make_sig_table(bits=4, max_ecs=4)
+    save_map_checkpoint(path, table, -1, None, step=2)
+    save_host_cursor(path, 0, None, total_reads=10, step=1)  # stale
+    with pytest.raises(ValueError, match="inconsistent"):
+        restore_sharded_checkpoint(path)
+
+    # matching steps restore fine and return the per-host counter
+    save_host_cursor(path, 0, None, total_reads=10, step=2)
+    got = restore_sharded_checkpoint(path)
+    assert got is not None
+    _table, total_reads, cursor, step = got
+    assert (total_reads, cursor, step) == (10, None, 2)
+
+    # missing sidecar (host joined that never saved) also refused
+    import os
+
+    os.remove(path + ".host0.npz")
+    with pytest.raises(ValueError, match="inconsistent"):
+        restore_sharded_checkpoint(path)
