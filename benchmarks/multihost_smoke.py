@@ -157,25 +157,36 @@ def worker(process_id: int) -> None:
 
     workdir = os.environ["SEEKMER_SMOKE_DIR"]
     B_loc = Bg // NPROC
+    # UNEQUAL per-host batch counts (host 0: 3, host 1: 4): DP feeds do
+    # not synchronize processes, so real per-host FASTQ shards differ in
+    # length — the checkpoint loop must survive one host exhausting its
+    # shard while the other still feeds/saves (driver.py
+    # _run_with_checkpoints_multiprocess).
+    n_batches = 3 + process_id
     rng = np.random.default_rng(3 + process_id)  # DIFFERENT data per host
-    simc = simulate_reads(rng, seqs, num_reads=3 * B_loc, read_len=L)
+    simc = simulate_reads(rng, seqs, num_reads=n_batches * B_loc, read_len=L)
     fq = os.path.join(workdir, f"ckpt_reads_p{process_id}.fq")
     with open(fq, "w") as fh:
         for i, r in enumerate(simc.reads1):
             fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
     ckpt = os.path.join(workdir, "mp.ckpt.npz")
     cfg_src = MapConfig(batch_size=B_loc, sig_table_bits=12)
+    total_global = (3 + 4) * B_loc
 
     def make_src():
         src = CheckpointableBatchSource([fq], cfg=cfg_src)
-        # decode chunk == one batch -> every batch carries a cursor, so
-        # the mid-stream save lands at the same batch index on every
-        # host (the collective save must stay aligned)
+        # decode chunk == one batch -> every batch carries a cursor
         src.CHUNK = B_loc
         return src
 
     full_mp = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh).run(
         iter(make_src()))
+
+    # a full checkpointed run over the unequal shards: host 0 exhausts a
+    # round early and must keep joining the collective rounds/saves
+    res_ck = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh).run(
+        iter(make_src()), checkpoint_path=ckpt, checkpoint_every=2)
+    assert as_dict(res_ck) == as_dict(full_mp)
 
     m1 = DataParallelMapper(index, cfg_map, shard_cfg, mesh=mesh)
     fed = 0
@@ -193,9 +204,10 @@ def worker(process_id: int) -> None:
     assert state, state  # this host's cursor came back
     src2.restore(state)
     res_mp = m2.run(iter(src2))
-    assert res_mp.total_reads == full_mp.total_reads == 2 * 3 * B_loc
+    assert res_mp.total_reads == full_mp.total_reads == total_global
     assert as_dict(res_mp) == as_dict(full_mp)
-    print(f"[proc {process_id}] multi-process checkpoint/resume: "
+    print(f"[proc {process_id}] multi-process checkpoint/resume "
+          f"(unequal shards {3}/{4} batches): "
           f"{res_mp.mapped}/{res_mp.total_reads} mapped == uninterrupted",
           flush=True)
     jax.distributed.shutdown()

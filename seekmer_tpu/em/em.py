@@ -374,8 +374,16 @@ def run_em(
     the automatic execution-mode policy (tests). Backend per
     EMConfig.backend: auto = the flat-CSR while_loop (VMEM-resident for
     single runs — see _use_pallas for the measured policy).
+
+    The Pallas single-execution path is only taken when it can honor the
+    full contract: not when chunked=True forces the chunked driver, and
+    not when resuming (it_init) or snapshotting (on_sync) — its internal
+    iteration budget restarts from 0 and it has no sync points, so
+    routing those runs through it silently broke the documented
+    total-budget/resume semantics (round-3 review finding).
     """
-    if _use_pallas(ec, cfg):
+    if (chunked is not True and it_init == 0 and on_sync is None
+            and _use_pallas(ec, cfg)):
         from ..ops.em_pallas import em_fixed_point
 
         T = ec.num_transcripts

@@ -402,16 +402,13 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
                           checkpoint_every: int) -> "MapResult":
     """Shared feed loop with cursor-aware checkpointing (Mapper and the
     sharded mappers). A save becomes DUE every checkpoint_every batches
-    and happens at the next batch carrying a resume cursor.
-
-    Multi-process: save_checkpoint is COLLECTIVE, so the "this batch has
-    a cursor" decision is agreed across processes first (hosts stream
-    different files, so cursor-bearing batch indices can differ; saving
-    only when every host has one keeps the collective in lockstep —
-    feeds themselves are already collective, so batch indices align)."""
+    and happens at the next batch carrying a resume cursor. Multi-process
+    checkpointed runs go through the round-collective variant below."""
     import jax
 
-    multi = jax.process_count() > 1
+    if checkpoint_path and jax.process_count() > 1:
+        return _run_with_checkpoints_multiprocess(
+            mapper, batches, checkpoint_path, checkpoint_every)
     n = 0
     due = False
     warned = False
@@ -424,13 +421,7 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
             last_cursor = cur
         if checkpoint_path:
             due = due or (n % checkpoint_every == 0)
-            have = cur is not None
-            if due and multi:
-                from jax.experimental import multihost_utils
-
-                have = bool(multihost_utils.process_allgather(
-                    np.asarray(have)).all())
-            if due and have:
+            if due and cur is not None:
                 mapper.save_checkpoint(checkpoint_path, stream_state=cur)
                 due = False
             elif due and last_cursor is None and not warned:
@@ -442,6 +433,55 @@ def _run_with_checkpoints(mapper, batches: Iterable[ReadBatch],
                 warned = True
     if checkpoint_path:
         mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
+    return mapper.finalize()
+
+
+def _run_with_checkpoints_multiprocess(mapper, batches, checkpoint_path,
+                                       checkpoint_every) -> "MapResult":
+    """Checkpointed feed loop when the mesh spans processes.
+
+    save_checkpoint is COLLECTIVE (allgather + barriers), and hosts may
+    stream DIFFERENT numbers of batches (per-host FASTQ shards; DP feeds
+    do not synchronize processes), so nothing about the plain loop is
+    naturally aligned — a host that exhausts its shard early while
+    another still wants to save would deadlock the collectives (round-3
+    review finding). This loop therefore makes the iteration itself
+    collective: every host joins exactly one allgather per ROUND (one
+    local batch per round while it has any), reporting (exhausted,
+    has-cursor). The round counter is then globally consistent: saves
+    trigger on it, only when every host has a cursor to save (exhausted
+    hosts keep joining rounds and offer their final cursor), and every
+    host leaves the loop in the same round. Costs one small host
+    allgather per batch — only on checkpointed multi-process runs."""
+    import numpy as _np
+
+    from jax.experimental import multihost_utils
+
+    it = iter(batches)
+    r = 0
+    due = False
+    done = False
+    last_cursor = None
+    while True:
+        batch = None if done else next(it, None)
+        if batch is None:
+            done = True
+            cur = last_cursor
+        else:
+            mapper.feed(batch)
+            cur = getattr(batch, "cursor", None)
+            if cur is not None:
+                last_cursor = cur
+        r += 1
+        flags = _np.asarray(multihost_utils.process_allgather(
+            _np.asarray([done, done or cur is not None])))
+        if flags[:, 0].all():
+            break
+        due = due or (r % checkpoint_every == 0)
+        if due and flags[:, 1].all():
+            mapper.save_checkpoint(checkpoint_path, stream_state=cur)
+            due = False
+    mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
     return mapper.finalize()
 
 

@@ -208,34 +208,58 @@ class Quantifier:
         return dataclasses.replace(
             em_cfg, mean_fragment_length=mean, fragment_length_sd=sd), est
 
+    # Minimum seconds between periodic EM/bootstrap snapshot writes: the
+    # chunked driver syncs every ~2 s, and writing a GENCODE-scale alpha
+    # at every sync would dominate the host loop (round-3 review finding).
+    # Convergence pins bypass the throttle.
+    SNAPSHOT_MIN_INTERVAL_S = 30.0
+
+    def _throttled_sync(self, path):
+        from ..utils.checkpoint import save_em_snapshot
+
+        last = [float("-inf")]
+
+        def on_sync(a, it, converged=False):
+            now = time.monotonic()
+            if not converged and now - last[0] < self.SNAPSHOT_MIN_INTERVAL_S:
+                return
+            last[0] = now
+            save_em_snapshot(path, a, it, converged=converged)
+
+        return on_sync
+
     def _em_snapshots(self, checkpoint_path, T: int):
         """EM/bootstrap-stage snapshot wiring (SURVEY.md 5.3: "EM restarts
         from last alpha snapshot"). Returns (em_snap_path, boot_snap_path,
-        alpha_init, it_init, on_sync) — snapshots live NEXT to the mapping
-        checkpoint so one --checkpoint flag protects every stage. Only
-        process 0 writes on multi-process runs."""
+        alpha_init, it_init, em_converged, on_sync) — snapshots live NEXT
+        to the mapping checkpoint so one --checkpoint flag protects every
+        stage. Only process 0 writes on multi-process runs. em_converged
+        marks a post-convergence pin: resume skips the EM stage entirely
+        (exact restart — re-running even one block from the converged
+        alpha would drift the output)."""
         if not checkpoint_path:
-            return None, None, None, 0, None
+            return None, None, None, 0, False, None
         import jax
 
-        from ..utils.checkpoint import load_em_snapshot, save_em_snapshot
+        from ..utils.checkpoint import load_em_snapshot
 
         em_snap = checkpoint_path + ".em.npz"
         boot_snap = checkpoint_path + ".boot.npz"
-        alpha_init, it_init = None, 0
+        alpha_init, it_init, em_converged = None, 0, False
         loaded = load_em_snapshot(em_snap)
         if loaded is not None:
-            a, it = loaded
+            a, it, conv = loaded
             if a.ndim == 1 and a.shape[0] == T:
-                alpha_init, it_init = a, it
-                log.info("resuming EM from snapshot at iteration %d", it)
+                alpha_init, it_init, em_converged = a, it, conv
+                log.info("resuming EM from snapshot at iteration %d%s", it,
+                         " (converged: skipping EM)" if conv else "")
             else:
                 log.warning("EM snapshot %s has shape %s != (%d,); "
                             "ignoring", em_snap, a.shape, T)
         on_sync = None
         if jax.process_index() == 0:
-            on_sync = lambda a, it: save_em_snapshot(em_snap, a, it)
-        return em_snap, boot_snap, alpha_init, it_init, on_sync
+            on_sync = self._throttled_sync(em_snap)
+        return em_snap, boot_snap, alpha_init, it_init, em_converged, on_sync
 
     def _infer(self, result: MapResult, t_map: float,
                checkpoint_path: Optional[str] = None) -> QuantResult:
@@ -251,7 +275,7 @@ class Quantifier:
         ec = build_ec_table(member_lists, counts, T, dtype=dtype)
         lengths = self.index.lengths
 
-        em_snap, boot_snap, alpha_init, it_init, on_sync = \
+        em_snap, boot_snap, alpha_init, it_init, em_converged, on_sync = \
             self._em_snapshots(checkpoint_path, T)
 
         mesh = getattr(self, "_mesh", None)
@@ -259,7 +283,13 @@ class Quantifier:
         metrics = getattr(self, "_metrics", None)
         with (metrics.timer("em") if metrics is not None
               else contextlib.nullcontext()):
-            if mesh is not None and self.cfg.shard.data_axis > 1:
+            if alpha_init is not None and em_converged:
+                # post-convergence pin: the EM stage already finished in
+                # the crashed run; resume EXACTLY (re-running even one
+                # block from the converged alpha would drift est_counts)
+                alpha = jnp.asarray(alpha_init, dtype)
+                iters = jnp.int32(it_init)
+            elif mesh is not None and self.cfg.shard.data_axis > 1:
                 from ..parallel.collective_em import run_em_collective
 
                 alpha, iters = run_em_collective(ec, lengths, em_cfg, mesh,
@@ -281,17 +311,19 @@ class Quantifier:
             metrics.count("em_iterations", int(iters))
         t_em = time.perf_counter() - t0
 
-        if int(iters) >= em_cfg.max_iters:
+        em_skipped = alpha_init is not None and em_converged
+        if not em_skipped and int(iters) >= em_cfg.max_iters:
             log.warning(
                 "EM stopped at max_iters=%d without meeting rel_tol=%g; "
                 "results are usable but not fully converged (raise "
                 "--em-max-iters or use --em-accel squarem)",
                 em_cfg.max_iters, em_cfg.rel_tol)
 
-        if em_snap is not None and on_sync is not None:
-            # EM done: pin the final state so a crash during bootstrap
-            # warm-starts EM to instant convergence on resume
-            on_sync(np.asarray(alpha), int(iters))
+        if em_snap is not None and on_sync is not None and not em_skipped:
+            # EM stage complete: pin the final state (converged=True) so
+            # a crash during bootstrap resumes with the EM stage skipped
+            # EXACTLY rather than re-run
+            on_sync(np.asarray(alpha), int(iters), converged=True)
 
         boot = None
         if em_cfg.bootstrap_samples > 0:
@@ -307,19 +339,17 @@ class Quantifier:
             else:
                 b_init, b_it, b_sync = None, 0, None
                 if boot_snap is not None:
-                    from ..utils.checkpoint import (
-                        load_em_snapshot, save_em_snapshot)
+                    from ..utils.checkpoint import load_em_snapshot
 
                     loaded = load_em_snapshot(boot_snap)
                     if (loaded is not None and loaded[0].ndim == 2
                             and loaded[0].shape ==
                             (T, em_cfg.bootstrap_samples)):
-                        b_init, b_it = loaded
+                        b_init, b_it, _ = loaded
                         log.info("resuming bootstrap EM from snapshot at "
                                  "iteration %d", b_it)
                     if on_sync is not None:  # process 0 only
-                        b_sync = lambda a, it: save_em_snapshot(
-                            boot_snap, a, it)
+                        b_sync = self._throttled_sync(boot_snap)
                 boot = np.asarray(
                     em_bootstrap.run_bootstrap(ec, lengths, em_cfg,
                                                alpha_init=b_init,

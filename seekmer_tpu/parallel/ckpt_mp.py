@@ -79,8 +79,7 @@ def restore_sharded_checkpoint(
 def place_global(arr: np.ndarray, sharding):
     """Place a host-replicated array under a (possibly multi-process)
     NamedSharding: each process materializes only its addressable shards
-    by slicing its full host copy (the prefix mapper's _put_global
-    pattern)."""
+    by slicing its full host copy."""
     import jax
 
     if jax.process_count() > 1:
@@ -88,3 +87,69 @@ def place_global(arr: np.ndarray, sharding):
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda idx: arr[idx])
     return jax.device_put(arr, sharding)
+
+
+def allgather_host(x) -> np.ndarray:
+    """Pull a mesh-sharded array to a full host copy; multi-process,
+    shards are allgathered so every host sees the global array."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def save_mapper_checkpoint(mapper, path: str,
+                           stream_state: Optional[dict]) -> None:
+    """Shared checkpoint save for the sharded mappers (DP and prefix —
+    they differ only in the table's sharding, which save does not need).
+    Single-process: plain host pull + one file. Multi-process: the
+    collective global-table + per-host-sidecar protocol above."""
+    import jax
+
+    from ..map.signature import SigTable
+
+    if jax.process_count() > 1:
+        mapper._ckpt_step += 1
+        save_sharded_checkpoint(path, mapper.table, mapper.total_reads,
+                                stream_state, mapper._host,
+                                mapper._ckpt_step)
+        return
+    from ..utils.checkpoint import save_map_checkpoint
+
+    host = SigTable(*(np.asarray(x) for x in mapper.table))
+    save_map_checkpoint(path, host, mapper.total_reads, stream_state)
+
+
+def restore_mapper_checkpoint(mapper, path: str, sharding):
+    """Shared checkpoint restore: re-places the table under ``sharding``
+    (the mapper's own spec — reads-axis for DP, both-axes for prefix).
+    Returns the stream cursor ({} when none), or None if absent."""
+    import jax
+
+    from ..map.signature import SigTable
+
+    if jax.process_count() > 1:
+        loaded = restore_sharded_checkpoint(path)
+        if loaded is None:
+            return None
+        table, total_reads, stream_state, step = loaded
+        mapper._ckpt_step = step
+        put = lambda x: place_global(np.asarray(x), sharding)
+    else:
+        from ..utils.checkpoint import load_map_checkpoint
+
+        loaded = load_map_checkpoint(path)
+        if loaded is None:
+            return None
+        table, total_reads, stream_state = loaded
+        put = lambda x: jax.device_put(np.asarray(x), sharding)
+    if np.asarray(table.count).shape != mapper.table.count.shape:
+        raise ValueError(
+            "checkpoint table shape does not match this mapper's mesh/"
+            "sig_table_bits configuration")
+    mapper.table = SigTable(*(put(x) for x in table))
+    mapper.total_reads = total_reads
+    return stream_state if stream_state is not None else {}

@@ -170,23 +170,14 @@ class DataParallelMapper:
                                      checkpoint_every)
 
     def save_checkpoint(self, path: str, stream_state=None) -> None:
-        """Checkpoint the SHARDED signature table (global array pulled to
-        host) + resume cursor. Multi-process: one allgathered global
-        table + per-host cursor sidecars, step-stamped for consistency
-        (parallel/ckpt_mp.py; collective — every process calls this at
-        the same feed index, which _run_with_checkpoints guarantees)."""
-        if jax.process_count() > 1:
-            from .ckpt_mp import save_sharded_checkpoint
+        """Checkpoint the SHARDED signature table + resume cursor.
+        Multi-process: collective global-table + per-host cursor sidecar
+        protocol (parallel/ckpt_mp.py; every process calls this at the
+        same round, which _run_with_checkpoints_multiprocess
+        guarantees)."""
+        from .ckpt_mp import save_mapper_checkpoint
 
-            self._ckpt_step += 1
-            save_sharded_checkpoint(path, self.table, self.total_reads,
-                                    stream_state, self._host,
-                                    self._ckpt_step)
-            return
-        from ..utils.checkpoint import save_map_checkpoint
-
-        host = SigTable(*(np.asarray(x) for x in self.table))
-        save_map_checkpoint(path, host, self.total_reads, stream_state)
+        save_mapper_checkpoint(self, path, stream_state)
 
     def supports_checkpoint(self) -> bool:
         return True
@@ -196,38 +187,11 @@ class DataParallelMapper:
         sharding); returns the stream cursor — this HOST's cursor on
         multi-process runs — ({} when the checkpoint has none), or None
         if no checkpoint exists."""
-        data = _shard_spec(self.mesh, self.shard_cfg,
-                           self.shard_cfg.data_axis_name)
-        if jax.process_count() > 1:
-            from .ckpt_mp import place_global, restore_sharded_checkpoint
+        from .ckpt_mp import restore_mapper_checkpoint
 
-            loaded = restore_sharded_checkpoint(path)
-            if loaded is None:
-                return None
-            table, total_reads, stream_state, step = loaded
-            self._ckpt_step = step
-            put = lambda x: place_global(np.asarray(x), data)
-        else:
-            from ..utils.checkpoint import load_map_checkpoint
-
-            loaded = load_map_checkpoint(path)
-            if loaded is None:
-                return None
-            table, total_reads, stream_state = loaded
-            put = lambda x: jax.device_put(np.asarray(x), data)
-        if np.asarray(table.count).shape != self.table.count.shape:
-            raise ValueError(
-                "checkpoint table shape does not match this mapper's mesh/"
-                "sig_table_bits configuration")
-        self.table = SigTable(
-            key=put(table.key),
-            count=put(table.count),
-            sig=put(table.sig),
-            overflow=put(table.overflow),
-            collisions=put(table.collisions),
-        )
-        self.total_reads = total_reads
-        return stream_state if stream_state is not None else {}
+        return restore_mapper_checkpoint(
+            self, path, _shard_spec(self.mesh, self.shard_cfg,
+                                    self.shard_cfg.data_axis_name))
 
     def make_fld_estimator(self):
         """FLD estimator over the mesh-replicated device index."""
@@ -238,11 +202,9 @@ class DataParallelMapper:
         return FLDEstimator(self.index, self.device_index)
 
     def _host(self, x) -> np.ndarray:
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        from .ckpt_mp import allgather_host
 
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
+        return allgather_host(x)
 
     def finalize(self) -> MapResult:
         """Merge the per-chip signature tables host-side (the reference's

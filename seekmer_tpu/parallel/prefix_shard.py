@@ -391,13 +391,11 @@ class PrefixShardedMapper:
         """Place a host-replicated array with the given PartitionSpec.
         Multi-process: every process holds the full host array (the index
         and the zero-initialized tables are built identically everywhere),
-        so each process materializes its addressable shards by slicing."""
-        sh = NamedSharding(self.mesh, spec)
-        if jax.process_count() > 1:
-            arr = np.asarray(arr)
-            return jax.make_array_from_callback(
-                arr.shape, sh, lambda idx: arr[idx])
-        return jax.device_put(arr, sh)
+        so each process materializes its addressable shards by slicing
+        (ckpt_mp.place_global)."""
+        from .ckpt_mp import place_global
+
+        return place_global(arr, NamedSharding(self.mesh, spec))
 
     def _put_batch(self, arr):
         """Place a batch array sharded over BOTH mesh axes (flattened on
@@ -453,23 +451,12 @@ class PrefixShardedMapper:
                                      checkpoint_every)
 
     def save_checkpoint(self, path: str, stream_state=None) -> None:
-        """Checkpoint the sharded signature table (global array pulled to
-        host) + resume cursor — the DP mapper's pattern, table sharded
-        over BOTH mesh axes. Multi-process: allgathered global table +
-        step-stamped per-host cursor sidecars (parallel/ckpt_mp.py;
-        collective)."""
-        if jax.process_count() > 1:
-            from .ckpt_mp import save_sharded_checkpoint
+        """Checkpoint the sharded signature table + resume cursor — the
+        DP mapper's protocol (parallel/ckpt_mp.py), table sharded over
+        BOTH mesh axes."""
+        from .ckpt_mp import save_mapper_checkpoint
 
-            self._ckpt_step += 1
-            save_sharded_checkpoint(path, self.table, self.total_reads,
-                                    stream_state, self._host,
-                                    self._ckpt_step)
-            return
-        from ..utils.checkpoint import save_map_checkpoint
-
-        host = SigTable(*(np.asarray(x) for x in self.table))
-        save_map_checkpoint(path, host, self.total_reads, stream_state)
+        save_mapper_checkpoint(self, path, stream_state)
 
     def supports_checkpoint(self) -> bool:
         return True
@@ -479,37 +466,10 @@ class PrefixShardedMapper:
         both-axes data sharding); returns the stream cursor — this HOST's
         cursor on multi-process runs — ({} when the checkpoint carries
         none) or None if no checkpoint exists."""
-        dspec = NamedSharding(self.mesh, P(self.both_axes))
-        if jax.process_count() > 1:
-            from .ckpt_mp import place_global, restore_sharded_checkpoint
+        from .ckpt_mp import restore_mapper_checkpoint
 
-            loaded = restore_sharded_checkpoint(path)
-            if loaded is None:
-                return None
-            table, total_reads, stream_state, step = loaded
-            self._ckpt_step = step
-            put = lambda x: place_global(np.asarray(x), dspec)
-        else:
-            from ..utils.checkpoint import load_map_checkpoint
-
-            loaded = load_map_checkpoint(path)
-            if loaded is None:
-                return None
-            table, total_reads, stream_state = loaded
-            put = lambda x: jax.device_put(np.asarray(x), dspec)
-        if np.asarray(table.count).shape != self.table.count.shape:
-            raise ValueError(
-                "checkpoint table shape does not match this mapper's mesh/"
-                "sig_table_bits configuration")
-        self.table = SigTable(
-            key=put(table.key),
-            count=put(table.count),
-            sig=put(table.sig),
-            overflow=put(table.overflow),
-            collisions=put(table.collisions),
-        )
-        self.total_reads = total_reads
-        return stream_state if stream_state is not None else {}
+        return restore_mapper_checkpoint(
+            self, path, NamedSharding(self.mesh, P(self.both_axes)))
 
     def make_fld_estimator(self):
         """FLD estimator over prefix-shard 0's sub-table — an unbiased
@@ -538,11 +498,9 @@ class PrefixShardedMapper:
     def _host(self, x) -> np.ndarray:
         """Pull a mesh-sharded array to host; multi-process, shards are
         allgathered so every host sees the global table."""
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        from .ckpt_mp import allgather_host
 
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
+        return allgather_host(x)
 
     def finalize(self) -> MapResult:
         if self.extra_routing_rounds:

@@ -161,16 +161,26 @@ def load_host_cursor(
         return cursor, meta["total_reads"], meta.get("step", 0)
 
 
-def save_em_snapshot(path: str, alpha: np.ndarray, iteration: int) -> None:
+def save_em_snapshot(path: str, alpha: np.ndarray, iteration: int,
+                     converged: bool = False) -> None:
+    """EM/bootstrap stage snapshot. UNCOMPRESSED npz: these fire from the
+    chunked driver's ~2 s host syncs, and np.savez_compressed of a
+    GENCODE-scale (T, B) alpha costs seconds per write (round-3 review
+    finding) — a transient restart artifact does not need compression.
+    ``converged=True`` marks the post-convergence pin, letting resume
+    skip the EM stage entirely (exact restart)."""
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as fh:
-        np.savez_compressed(fh, alpha=np.asarray(alpha),
-                            iteration=np.int64(iteration))
+        np.savez(fh, alpha=np.asarray(alpha),
+                 iteration=np.int64(iteration),
+                 converged=np.bool_(converged))
     os.replace(tmp, path)
 
 
-def load_em_snapshot(path: str) -> Optional[Tuple[np.ndarray, int]]:
+def load_em_snapshot(path: str) -> Optional[Tuple[np.ndarray, int, bool]]:
+    """Returns (alpha, iteration, converged) or None if absent."""
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
-        return z["alpha"], int(z["iteration"])
+        converged = bool(z["converged"]) if "converged" in z.files else False
+        return z["alpha"], int(z["iteration"]), converged

@@ -265,8 +265,11 @@ def test_em_snapshot_roundtrip_and_warm_start(tmp_path, world):
     alpha, it = run_em(ec, index.lengths, em_cfg)
     p = str(tmp_path / "em.npz")
     save_em_snapshot(p, np.asarray(alpha), int(it))
-    alpha2, it2 = load_em_snapshot(p)
+    alpha2, it2, conv2 = load_em_snapshot(p)
     np.testing.assert_array_equal(alpha2, np.asarray(alpha))
+    assert (it2, conv2) == (int(it), False)
+    save_em_snapshot(p, np.asarray(alpha), int(it), converged=True)
+    assert load_em_snapshot(p)[2] is True
 
     # warm start from the converged alpha: converges immediately
     alpha3, it3 = run_em(ec, index.lengths, em_cfg,
