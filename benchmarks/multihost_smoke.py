@@ -210,6 +210,20 @@ def worker(process_id: int) -> None:
           f"(unequal shards {3}/{4} batches): "
           f"{res_mp.mapped}/{res_mp.total_reads} mapped == uninterrupted",
           flush=True)
+
+    # stage-snapshot broadcast (quantifier._broadcast_snapshot): only
+    # process 0 reads snapshots from disk; every host must end up with
+    # process 0's (alpha, it, converged) or EM backends/branches diverge
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    q = Quantifier.__new__(Quantifier)  # method needs no pipeline state
+    local = (np.arange(4.0), 5, True) if process_id == 0 else (None, 0,
+                                                               False)
+    a, it, conv = Quantifier._broadcast_snapshot(q, *local, (4,))
+    assert np.array_equal(a, np.arange(4.0)) and (it, conv) == (5, True)
+    a2, it2, conv2 = Quantifier._broadcast_snapshot(q, None, 0, False, (4,))
+    assert a2 is None and (it2, conv2) == (0, False)
+    print(f"[proc {process_id}] snapshot broadcast agrees", flush=True)
     jax.distributed.shutdown()
 
 

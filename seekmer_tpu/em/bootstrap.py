@@ -182,12 +182,16 @@ def run_bootstrap(ec: ECTable, lengths, cfg: EMConfig,
     counts = ec.counts.astype(jnp.float32)
     key = jax.random.PRNGKey(cfg.bootstrap_seed)
     cmat = _resample_jit(key, counts, B)  # [B, E]
-    # The Pallas single-execution kernel cannot honor resume/snapshot
-    # arguments (no sync points, internal budget restarts at 0) and must
-    # not shadow an explicit chunked=True — route those runs through the
-    # CSR paths (round-3 review finding).
+    # The Pallas single-execution kernel cannot honor RESUME arguments
+    # (no sync points, internal budget restarts at 0, ignores alpha_init)
+    # and must not shadow an explicit chunked=True — route those runs
+    # through the CSR paths. Fresh runs with on_sync set still take it
+    # (short single-execution runs need no mid-run snapshot, and gating
+    # on on_sync — which only process 0 receives — would make processes
+    # run DIFFERENT backends on multi-host runs; round-3 review
+    # findings).
     if (chunked is not True and alpha_init is None and it_init == 0
-            and on_sync is None and _use_pallas(ec, cfg, replicates=B)):
+            and _use_pallas(ec, cfg, replicates=B)):
         from ..ops.em_pallas import em_fixed_point
 
         eff = effective_lengths(jnp.asarray(lengths), cfg, jnp.float32)

@@ -377,13 +377,14 @@ def run_em(
 
     The Pallas single-execution path is only taken when it can honor the
     full contract: not when chunked=True forces the chunked driver, and
-    not when resuming (it_init) or snapshotting (on_sync) — its internal
-    iteration budget restarts from 0 and it has no sync points, so
-    routing those runs through it silently broke the documented
-    total-budget/resume semantics (round-3 review finding).
+    not when RESUMING (it_init) — its internal iteration budget restarts
+    from 0, which silently broke the documented total-budget semantics
+    (round-3 review finding). A fresh run with on_sync set still takes
+    it: Pallas-eligible runs are the short single-execution ones, whose
+    mid-run snapshots were never needed (a crash simply re-runs the
+    stage; the post-stage pin is the quantifier's own call).
     """
-    if (chunked is not True and it_init == 0 and on_sync is None
-            and _use_pallas(ec, cfg)):
+    if chunked is not True and it_init == 0 and _use_pallas(ec, cfg):
         from ..ops.em_pallas import em_fixed_point
 
         T = ec.num_transcripts

@@ -461,6 +461,7 @@ def _run_with_checkpoints_multiprocess(mapper, batches, checkpoint_path,
     r = 0
     due = False
     done = False
+    warned = False
     last_cursor = None
     while True:
         batch = None if done else next(it, None)
@@ -473,14 +474,25 @@ def _run_with_checkpoints_multiprocess(mapper, batches, checkpoint_path,
             if cur is not None:
                 last_cursor = cur
         r += 1
+        # a done host offers its FINAL cursor; a host that never saw one
+        # reports False — saving a None cursor for it would restore to
+        # "start fresh" on top of a table already holding its reads
+        # (double count; round-3 review finding)
         flags = _np.asarray(multihost_utils.process_allgather(
-            _np.asarray([done, done or cur is not None])))
+            _np.asarray([done, cur is not None])))
         if flags[:, 0].all():
             break
         due = due or (r % checkpoint_every == 0)
         if due and flags[:, 1].all():
             mapper.save_checkpoint(checkpoint_path, stream_state=cur)
             due = False
+        elif due and last_cursor is None and not warned:
+            log.warning(
+                "checkpointing requested but this host's batches carry "
+                "no resume cursors (not from CheckpointableBatchSource); "
+                "periodic checkpoints are disabled — a final "
+                "non-resumable table snapshot will still be written")
+            warned = True
     mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
     return mapper.finalize()
 

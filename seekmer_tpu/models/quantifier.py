@@ -74,6 +74,24 @@ class Quantifier:
             source = CheckpointableBatchSource(fastq_paths, mate_paths,
                                                map_cfg)
             state = mapper.restore_checkpoint(checkpoint_path)
+            import jax
+
+            if jax.process_count() > 1:
+                # resume is all-or-nothing across hosts: the restored
+                # TABLE is global, so one host resuming while another
+                # starts fresh double-counts that host's reads (and the
+                # mappers' state diverges). Requires the checkpoint files
+                # on storage visible to every host.
+                from jax.experimental import multihost_utils as mhu
+
+                cats = np.asarray(mhu.process_allgather(
+                    np.asarray([state is None, bool(state)])))
+                if not cats[:, 1].all():
+                    if not cats[:, 0].all():
+                        log.warning(
+                            "checkpoint %s is not resumable on every "
+                            "host; ALL hosts start fresh", checkpoint_path)
+                    state = None if cats[:, 0].all() else {}
             if state:
                 source.restore(state)
                 log.info("resuming from checkpoint: %d reads already "
@@ -228,6 +246,28 @@ class Quantifier:
 
         return on_sync
 
+    def _broadcast_snapshot(self, arr, it, conv, shape):
+        """Agree on process 0's stage snapshot across hosts. Only process
+        0 writes snapshots, so without this each host would decide
+        resume/skip (and even EM backend) from its own filesystem — a
+        guaranteed collective deadlock or cross-process divergence
+        (round-3 review finding). Requires the checkpoint path itself
+        only on process 0."""
+        import jax
+
+        if jax.process_count() == 1:
+            return arr, it, conv
+        from jax.experimental import multihost_utils as mhu
+
+        meta = np.asarray(mhu.broadcast_one_to_all(np.asarray(
+            [arr is not None, it, 1 if conv else 0], np.int64)))
+        if not meta[0]:
+            return None, 0, False
+        payload = (np.asarray(arr, np.float64) if arr is not None
+                   else np.zeros(shape, np.float64))
+        payload = np.asarray(mhu.broadcast_one_to_all(payload))
+        return payload, int(meta[1]), bool(meta[2])
+
     def _em_snapshots(self, checkpoint_path, T: int):
         """EM/bootstrap-stage snapshot wiring (SURVEY.md 5.3: "EM restarts
         from last alpha snapshot"). Returns (em_snap_path, boot_snap_path,
@@ -256,6 +296,8 @@ class Quantifier:
             else:
                 log.warning("EM snapshot %s has shape %s != (%d,); "
                             "ignoring", em_snap, a.shape, T)
+        alpha_init, it_init, em_converged = self._broadcast_snapshot(
+            alpha_init, it_init, em_converged, (T,))
         on_sync = None
         if jax.process_index() == 0:
             on_sync = self._throttled_sync(em_snap)
@@ -307,12 +349,13 @@ class Quantifier:
             eff_d = effective_lengths(jnp.asarray(lengths), em_cfg, dtype)
             ll = float(log_likelihood(ec, alpha, eff_d))
             alpha.block_until_ready()
-        if metrics is not None:
+        em_skipped = alpha_init is not None and em_converged
+        if metrics is not None and not em_skipped:
             metrics.count("em_iterations", int(iters))
         t_em = time.perf_counter() - t0
 
-        em_skipped = alpha_init is not None and em_converged
-        if not em_skipped and int(iters) >= em_cfg.max_iters:
+        em_capped = int(iters) >= em_cfg.max_iters
+        if not em_skipped and em_capped:
             log.warning(
                 "EM stopped at max_iters=%d without meeting rel_tol=%g; "
                 "results are usable but not fully converged (raise "
@@ -320,10 +363,18 @@ class Quantifier:
                 em_cfg.max_iters, em_cfg.rel_tol)
 
         if em_snap is not None and on_sync is not None and not em_skipped:
-            # EM stage complete: pin the final state (converged=True) so
-            # a crash during bootstrap resumes with the EM stage skipped
-            # EXACTLY rather than re-run
-            on_sync(np.asarray(alpha), int(iters), converged=True)
+            # EM stage complete (on_sync non-None == this is process 0):
+            # pin the final state so a crash during bootstrap resumes
+            # with the EM stage skipped EXACTLY rather than re-run. A
+            # max_iters-capped stage pins converged=False — resume must
+            # CONTINUE iterating (the user was just told to raise the
+            # budget) — written directly, not via the throttled on_sync,
+            # which would swallow a non-converged pin inside the
+            # 30 s window (round-3 review findings).
+            from ..utils.checkpoint import save_em_snapshot
+
+            save_em_snapshot(em_snap, np.asarray(alpha), int(iters),
+                             converged=not em_capped)
 
         boot = None
         if em_cfg.bootstrap_samples > 0:
@@ -348,6 +399,12 @@ class Quantifier:
                         b_init, b_it, _ = loaded
                         log.info("resuming bootstrap EM from snapshot at "
                                  "iteration %d", b_it)
+                    # every process runs this bootstrap independently:
+                    # agree on process 0's snapshot or backends/results
+                    # diverge across hosts
+                    b_init, b_it, _ = self._broadcast_snapshot(
+                        b_init, b_it, False,
+                        (T, em_cfg.bootstrap_samples))
                     if on_sync is not None:  # process 0 only
                         b_sync = self._throttled_sync(boot_snap)
                 boot = np.asarray(

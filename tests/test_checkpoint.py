@@ -399,6 +399,55 @@ def test_pipeline_em_snapshot_lifecycle(tmp_path, world):
     np.testing.assert_allclose(again.est_counts, fresh.est_counts,
                                rtol=1e-5, atol=1e-4)
 
+    # a CONVERGED pin skips the EM stage EXACTLY on resume
+    save_em_snapshot(ckpt + ".em.npz", fresh.est_counts,
+                     fresh.em_iterations, converged=True)
+    skipped = Quantifier(index, cfg).quantify_files([fq],
+                                                    checkpoint_path=ckpt)
+    np.testing.assert_array_equal(skipped.est_counts, fresh.est_counts)
+    assert skipped.em_iterations == fresh.em_iterations
+
+
+def test_capped_em_pins_unconverged(tmp_path, world, monkeypatch):
+    """A max_iters-capped EM stage must pin converged=False so resume
+    CONTINUES iterating under a raised budget, while a truly converged
+    stage pins converged=True (exact skip). Observed by crashing the run
+    during bootstrap — the realistic scenario the pin exists for — which
+    leaves the stage snapshots on disk (round-3 review finding)."""
+    from seekmer_tpu import em as em_pkg
+    from seekmer_tpu.config import PipelineConfig
+    from seekmer_tpu.models.quantifier import Quantifier
+    from seekmer_tpu.utils.checkpoint import load_em_snapshot
+
+    index, reads = world
+    fq = str(tmp_path / "reads.fq")
+    _write_fastq_plain(fq, reads)
+    ckpt = str(tmp_path / "cap.ckpt.npz")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during bootstrap")
+
+    monkeypatch.setattr(em_pkg.bootstrap, "run_bootstrap", boom)
+
+    def run(max_iters):
+        cfg = PipelineConfig().replace(
+            map=MapConfig(batch_size=128, sig_table_bits=12),
+            em=EMConfig(rel_tol=1e-6, max_iters=max_iters,
+                        bootstrap_samples=2))
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            Quantifier(index, cfg).quantify_files([fq],
+                                                  checkpoint_path=ckpt)
+        pin = load_em_snapshot(ckpt + ".em.npz")
+        assert pin is not None
+        os.remove(ckpt + ".em.npz")
+        return pin
+
+    _, it_capped, conv_capped = run(max_iters=8)
+    assert conv_capped is False and it_capped >= 8  # capped: must resume
+
+    _, _, conv_ok = run(max_iters=5000)
+    assert conv_ok is True  # converged: resume skips the stage exactly
+
 
 def test_old_format_checkpoint_rejected(tmp_path):
     import json
