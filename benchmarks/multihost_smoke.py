@@ -211,10 +211,34 @@ def worker(process_id: int) -> None:
           f"{res_mp.mapped}/{res_mp.total_reads} mapped == uninterrupted",
           flush=True)
 
+    # DIVERGENT-host restore must abort EVERY host, not deadlock the
+    # survivors: delete host 1's cursor sidecar (the crash-between-table-
+    # and-sidecar signature restore_sharded_checkpoint detects). Host 1's
+    # restore raises; the quantifier's collective agreement
+    # (quantify_files) must turn that into an error on BOTH hosts instead
+    # of host 0 proceeding into the next collective and hanging
+    # (round-3 advisor/verdict finding).
+    from jax.experimental import multihost_utils as mhu
+
+    from seekmer_tpu.config import PipelineConfig
+    from seekmer_tpu.models.quantifier import Quantifier
+    from seekmer_tpu.utils.checkpoint import host_cursor_path
+
+    if process_id == 1:
+        os.remove(host_cursor_path(ckpt, 1))
+    mhu.sync_global_devices("smoke_corrupt_sidecar")
+    q2 = Quantifier(index, PipelineConfig(map=cfg_src, shard=shard_cfg))
+    try:
+        q2.quantify_files([fq], checkpoint_path=ckpt)
+        raise AssertionError("divergent-host restore did not raise")
+    except ValueError as e:
+        emsg = str(e).splitlines()[0][:72]
+    print(f"[proc {process_id}] divergent-host restore aborted on every "
+          f"host: {emsg}", flush=True)
+
     # stage-snapshot broadcast (quantifier._broadcast_snapshot): only
     # process 0 reads snapshots from disk; every host must end up with
     # process 0's (alpha, it, converged) or EM backends/branches diverge
-    from seekmer_tpu.models.quantifier import Quantifier
 
     q = Quantifier.__new__(Quantifier)  # method needs no pipeline state
     local = (np.arange(4.0), 5, True) if process_id == 0 else (None, 0,

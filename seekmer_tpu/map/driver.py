@@ -486,12 +486,20 @@ def _run_with_checkpoints_multiprocess(mapper, batches, checkpoint_path,
         if due and flags[:, 1].all():
             mapper.save_checkpoint(checkpoint_path, stream_state=cur)
             due = False
-        elif due and last_cursor is None and not warned:
+        elif due and not flags[:, 1].all() and not warned:
+            # warn on EVERY host, naming the blockers: a cursorless host
+            # blocks periodic saves for the whole mesh, and hosts with
+            # valid cursors would otherwise silently never checkpoint
+            # (round-3 advisor finding). May fire on a transient
+            # no-cursor round; the message says saves resume when every
+            # host offers one.
+            blockers = _np.nonzero(~flags[:, 1])[0].tolist()
             log.warning(
-                "checkpointing requested but this host's batches carry "
-                "no resume cursors (not from CheckpointableBatchSource); "
-                "periodic checkpoints are disabled — a final "
-                "non-resumable table snapshot will still be written")
+                "periodic checkpoint is blocked: host process(es) %s "
+                "offered no resume cursor this round (batches not from "
+                "CheckpointableBatchSource, or none seen yet); saves "
+                "happen only when every host has a cursor — a final "
+                "table snapshot will still be written", blockers)
             warned = True
     mapper.save_checkpoint(checkpoint_path, stream_state=last_cursor)
     return mapper.finalize()

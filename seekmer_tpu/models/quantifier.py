@@ -73,9 +73,20 @@ class Quantifier:
 
             source = CheckpointableBatchSource(fastq_paths, mate_paths,
                                                map_cfg)
-            state = mapper.restore_checkpoint(checkpoint_path)
             import jax
 
+            # restore must not raise BEFORE the cross-host agreement below:
+            # a step-mismatched/missing sidecar on ONE host (partial copy,
+            # divergent filesystems) would raise there while the other
+            # hosts proceed into process_allgather and hang (round-3
+            # advisor finding). Hold the error, agree, then fail together.
+            state, restore_err = None, None
+            try:
+                state = mapper.restore_checkpoint(checkpoint_path)
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if jax.process_count() == 1:
+                    raise
+                restore_err = e
             if jax.process_count() > 1:
                 # resume is all-or-nothing across hosts: the restored
                 # TABLE is global, so one host resuming while another
@@ -84,8 +95,19 @@ class Quantifier:
                 # on storage visible to every host.
                 from jax.experimental import multihost_utils as mhu
 
-                cats = np.asarray(mhu.process_allgather(
-                    np.asarray([state is None, bool(state)])))
+                cats = np.asarray(mhu.process_allgather(np.asarray(
+                    [state is None and restore_err is None, bool(state),
+                     restore_err is not None])))
+                if cats[:, 2].any():
+                    # every host raises at the same point — no survivor
+                    # proceeds into a later collective to deadlock
+                    if restore_err is not None:
+                        raise restore_err
+                    bad = np.nonzero(cats[:, 2])[0].tolist()
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} failed to restore "
+                        f"on host(s) {bad} (see their logs); delete the "
+                        "checkpoint files on every host to start fresh")
                 if not cats[:, 1].all():
                     if not cats[:, 0].all():
                         log.warning(

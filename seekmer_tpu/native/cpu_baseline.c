@@ -83,10 +83,14 @@ void seekmer_cpu_free(void *h) {
  * sig_counts int64[sig_size]) table keyed by a 64-bit signature
  * fingerprint — the compiled analog of the reference's per-worker EC
  * count dict. Returns mapped reads, or -1 if the signature table fills.
+ * sig_used_io carries the table's occupancy ACROSS calls (sig_keys
+ * persists in the caller, so a per-call counter would let repeated map()
+ * calls blow past the load-0.5 bound and degrade probes toward scans —
+ * round-3 advisor finding); caller initializes it to 0 with the table.
  */
 long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
                      int max_ecs, uint64_t *sig_keys, int64_t *sig_counts,
-                     long sig_size) {
+                     long sig_size, int64_t *sig_used_io) {
   cpu_index *ix = (cpu_index *)h;
   const int k = ix->k;
   const uint64_t mask2k = (1ULL << (2 * k)) - 1; /* k <= 29 < 32 */
@@ -94,7 +98,7 @@ long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
   const uint64_t sigmask = (uint64_t)sig_size - 1;
   if (max_ecs > 64) max_ecs = 64;
   long mapped = 0;
-  long sig_used = 0;
+  long sig_used = (long)*sig_used_io;
 
   for (long r = 0; r < B; r++) {
     const uint8_t *row = codes + r * L;
@@ -154,11 +158,15 @@ long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
     uint64_t t = fp & sigmask;
     while (sig_keys[t] != 0 && sig_keys[t] != fp) t = (t + 1) & sigmask;
     if (sig_keys[t] == 0) {
-      if (2 * ++sig_used > sig_size) return -1; /* keep probes bounded */
+      if (2 * ++sig_used > sig_size) { /* keep probes bounded */
+        *sig_used_io = sig_used - 1;   /* failed insert was not stored */
+        return -1;
+      }
       sig_keys[t] = fp;
     }
     sig_counts[t]++;
     mapped++;
   }
+  *sig_used_io = sig_used;
   return mapped;
 }

@@ -65,7 +65,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -100,6 +100,9 @@ class CpuBaselineMapper:
         self.sig_size = 1 << sig_bits
         self.sig_keys = np.zeros(self.sig_size, np.uint64)
         self.sig_counts = np.zeros(self.sig_size, np.int64)
+        # cumulative occupancy, carried across map() calls so the C side's
+        # load-0.5 overflow bound holds for the table's whole lifetime
+        self._sig_used = np.zeros(1, np.int64)
 
     def map(self, codes: np.ndarray, max_ecs: int = 16) -> int:
         """Map uint8[B, L] code rows; returns mapped-read count and
@@ -112,7 +115,8 @@ class CpuBaselineMapper:
             B, L, max_ecs,
             self.sig_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             self.sig_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            self.sig_size)
+            self.sig_size,
+            self._sig_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         if n < 0:
             raise RuntimeError("baseline signature table overflow; "
                                "raise sig_bits")

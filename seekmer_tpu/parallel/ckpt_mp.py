@@ -145,6 +145,16 @@ def restore_mapper_checkpoint(mapper, path: str, sharding):
         if loaded is None:
             return None
         table, total_reads, stream_state = loaded
+        if total_reads < 0:
+            # the -1 sentinel save_sharded_checkpoint writes into the table
+            # file: the authoritative per-host counters live in the
+            # sidecars, which a single-process restore cannot consume —
+            # restoring would leave total_reads negative and unmapped
+            # counts nonsensical (round-3 advisor finding)
+            raise ValueError(
+                f"checkpoint {path} was written by a multi-process run; "
+                "restore it under the same process count (or delete the "
+                "checkpoint files to start fresh)")
         put = lambda x: jax.device_put(np.asarray(x), sharding)
     if np.asarray(table.count).shape != mapper.table.count.shape:
         raise ValueError(

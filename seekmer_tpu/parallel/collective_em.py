@@ -14,6 +14,7 @@ this subsystem has no reference counterpart by design.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -32,6 +33,8 @@ from ..em.em import (
     run_blocked_fixed_point,
     squarem_cycle,
 )
+
+log = logging.getLogger(__name__)
 
 
 def shard_ec_table(ec: ECTable, n_shards: int) -> ECTable:
@@ -116,6 +119,17 @@ def run_em_collective(
         return (lambda a: squarem_cycle(base, a)) if accel else base
 
     if not chunked:
+        if on_sync is not None:
+            # contract narrowing a caller cannot see from the signature
+            # (round-3 review finding): the single-execution branch honors
+            # the warm start but fires no mid-run snapshot hooks — the
+            # whole run is one bounded XLA execution, short enough that a
+            # crash loses at most that execution
+            log.info(
+                "collective EM running as a single execution (below the "
+                "chunking threshold); mid-run snapshots (on_sync) will "
+                "not fire for this stage")
+
         def em_collective(counts, ec_ids, txp_ids, lengths, a_init):
             eff = effective_lengths(lengths, cfg, dtype)
             N = counts.sum()

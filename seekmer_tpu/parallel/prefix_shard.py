@@ -329,7 +329,7 @@ class PrefixShardedMapper:
         # per-feed sync, O(1) buffers (a list of per-batch arrays grew
         # with run length)
         self._rounds_max = jnp.zeros((), jnp.int32)
-        self._steps: Dict[Tuple[int, bool], callable] = {}
+        self._steps: Dict[Tuple[int, bool, bool], callable] = {}
 
     def _get_step(self, bucket: int, paired: bool, audit: bool = True):
         key = (bucket, paired, audit)

@@ -644,3 +644,27 @@ def test_multiprocess_checkpoint_step_mismatch_refused(tmp_path, world):
     os.remove(path + ".host0.npz")
     with pytest.raises(ValueError, match="inconsistent"):
         restore_sharded_checkpoint(path)
+
+
+def test_multiprocess_checkpoint_refused_single_process(tmp_path, world):
+    """A checkpoint written by a MULTI-process save (total_reads is the -1
+    sentinel; the authoritative counters live in per-host sidecars) must be
+    refused by a single-process restore — silently restoring it leaves
+    mapper.total_reads negative and MapResult.unmapped nonsensical
+    (round-3 advisor finding)."""
+    from seekmer_tpu.config import ShardConfig
+    from seekmer_tpu.map.signature import SigTable
+    from seekmer_tpu.parallel.data_parallel import DataParallelMapper
+    from seekmer_tpu.parallel.mesh import make_mesh
+    from seekmer_tpu.utils.checkpoint import save_map_checkpoint
+
+    index, _ = world
+    shard = ShardConfig(data_axis=8)
+    dp = DataParallelMapper(index, MapConfig(batch_size=128,
+                                             sig_table_bits=12),
+                            shard, mesh=make_mesh(shard))
+    path = str(tmp_path / "mp_single.ckpt.npz")
+    host = SigTable(*(np.asarray(x) for x in dp.table))
+    save_map_checkpoint(path, host, -1, None, step=3)
+    with pytest.raises(ValueError, match="multi-process"):
+        dp.restore_checkpoint(path)

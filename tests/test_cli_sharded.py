@@ -41,6 +41,7 @@ def _run(args, env_extra=None):
     return r
 
 
+@pytest.mark.slow
 def test_sharded_cli_matches_single(files):
     d, fa, fq = files
     idx = str(d / "index.npz")

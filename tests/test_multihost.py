@@ -12,6 +12,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_two_process_smoke():
     env = dict(os.environ)
     # the smoke manages its own backend configuration per worker

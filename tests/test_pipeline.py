@@ -73,6 +73,7 @@ def test_quantifier_paired_end_matches_oracle(world):
                                rtol=5e-3, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, world):
     names, seqs, index, sim = world
     fa = str(tmp_path / "ref.fa")
