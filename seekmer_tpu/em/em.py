@@ -272,6 +272,14 @@ def _chunked_fixed_point(block_fn, state, cfg_eff: EMConfig,
         per_block = max(dt / k, 1e-4)
         remaining = max((cfg_eff.max_iters - it_v) // C, 1)
         k = max(1, min(int(target_sync_s / per_block), remaining))
+        if jax.process_count() > 1:
+            # k adapts from LOCAL timing; when the block is a collective
+            # program (collective EM, sharded bootstrap) hosts that picked
+            # different k would enqueue different execution counts between
+            # syncs and deadlock the collectives — agree on process 0's k
+            from jax.experimental import multihost_utils as mhu
+
+            k = int(np.asarray(mhu.broadcast_one_to_all(np.int64(k))))
 
 
 def _run_em_chunked(ec: ECTable, lengths, cfg: EMConfig, alpha_init=None,

@@ -401,34 +401,40 @@ class Quantifier:
         boot = None
         if em_cfg.bootstrap_samples > 0:
             t0 = time.perf_counter()
+            # bootstrap-stage snapshot state, shared by both branches:
+            # loaded from disk on process 0, broadcast so every host takes
+            # the same resume/fresh decision (and the same EM backend)
+            b_init, b_it, b_sync = None, 0, None
+            if boot_snap is not None:
+                from ..utils.checkpoint import load_em_snapshot
+
+                loaded = load_em_snapshot(boot_snap)
+                if (loaded is not None and loaded[0].ndim == 2
+                        and loaded[0].shape ==
+                        (T, em_cfg.bootstrap_samples)):
+                    b_init, b_it, _ = loaded
+                    log.info("resuming bootstrap EM from snapshot at "
+                             "iteration %d", b_it)
+                b_init, b_it, _ = self._broadcast_snapshot(
+                    b_init, b_it, False,
+                    (T, em_cfg.bootstrap_samples))
+                if on_sync is not None:  # process 0 only
+                    b_sync = self._throttled_sync(boot_snap)
             if (mesh is not None and self.cfg.shard.data_axis > 1
                     and em_cfg.bootstrap_samples % self.cfg.shard.data_axis == 0):
                 from ..parallel.bootstrap_shard import run_bootstrap_sharded
+                from ..parallel.ckpt_mp import allgather_host
 
-                # sharded bootstrap: no snapshot wiring (replicate axis is
-                # mesh-folded; runs are short per chip)
-                boot = np.asarray(run_bootstrap_sharded(
-                    ec, lengths, em_cfg, mesh, self.cfg.shard))
+                # snapshots=... must agree across hosts (the snapshot
+                # hook's alpha allgather is collective): boot_snap is
+                # derived from --checkpoint, which multi-process runs
+                # already require on every host (the mapping checkpoint
+                # save is collective too)
+                boot = allgather_host(run_bootstrap_sharded(
+                    ec, lengths, em_cfg, mesh, self.cfg.shard,
+                    alpha_init=b_init, it_init=b_it, on_sync=b_sync,
+                    snapshots=boot_snap is not None))
             else:
-                b_init, b_it, b_sync = None, 0, None
-                if boot_snap is not None:
-                    from ..utils.checkpoint import load_em_snapshot
-
-                    loaded = load_em_snapshot(boot_snap)
-                    if (loaded is not None and loaded[0].ndim == 2
-                            and loaded[0].shape ==
-                            (T, em_cfg.bootstrap_samples)):
-                        b_init, b_it, _ = loaded
-                        log.info("resuming bootstrap EM from snapshot at "
-                                 "iteration %d", b_it)
-                    # every process runs this bootstrap independently:
-                    # agree on process 0's snapshot or backends/results
-                    # diverge across hosts
-                    b_init, b_it, _ = self._broadcast_snapshot(
-                        b_init, b_it, False,
-                        (T, em_cfg.bootstrap_samples))
-                    if on_sync is not None:  # process 0 only
-                        b_sync = self._throttled_sync(boot_snap)
                 boot = np.asarray(
                     em_bootstrap.run_bootstrap(ec, lengths, em_cfg,
                                                alpha_init=b_init,
