@@ -97,6 +97,11 @@ def main() -> int:
                     probe_stride=args.probe_stride)
     mapper = Mapper(index, cfg)
 
+    import dataclasses as _dc
+
+    def dataclasses_replace_cfg(c, sample):
+        return _dc.replace(c, probe_sample=sample)
+
     def batch(i):
         return ReadBatch(codes=codes[i], lengths=lengths, weights=weights)
 
@@ -167,6 +172,31 @@ def main() -> int:
     log(f"[bench] best of {len(window_rates)} windows: "
         f"{device_rps:,.0f} reads/s/chip "
         f"(median {np.median(window_rates):,.0f})")
+
+    # FAST mode (MapConfig.probe_sample — two-phase early-exit probing,
+    # the vectorized analog of the reference's own skipping heuristic,
+    # SURVEY.md 3.3): measured in the same process with the same
+    # pre-uploaded batches. Accuracy on this workload: zero mapped-count
+    # delta, >= 99.8% per-signature count agreement vs dense
+    # (benchmarks/micro_sample.py, 2026-08-21). Reported in extra; the
+    # headline stays the dense/exact mode.
+    fast_stride = 16
+    fast_mapper = Mapper(index, dataclasses_replace_cfg(cfg, fast_stride))
+    t0 = time.perf_counter()
+    fast_mapper.feed(pre[0])
+    np.asarray(fast_mapper.table.count[:8])
+    log(f"[bench] fast-mode warmup (compile) {time.perf_counter() - t0:.1f}s")
+    fast_rates = []
+    for w in range(4):
+        t0 = time.perf_counter()
+        for b in pre[1:]:
+            fast_mapper.feed(b)
+        np.asarray(fast_mapper.table.count[:8])
+        fast_rates.append(n_reads / (time.perf_counter() - t0))
+    fast_rps = max(fast_rates)
+    log(f"[bench] fast mode (probe_sample={fast_stride}): best "
+        f"{fast_rps:,.0f} reads/s "
+        f"windows {[f'{r:,.0f}' for r in fast_rates]}")
 
     # quantification tail (resolve + EM) and TPM error vs float64 oracle EM
     result = mapper.finalize()
@@ -241,9 +271,24 @@ def main() -> int:
         log(f"[bench] CPU 1-core compiled: best {cpu_rps:,.0f} reads/s of "
             f"{[f'{r:,.0f}' for r in cpu_windows]} "
             f"({n_mapped_c}/{codes[0].shape[0]} mapped)")
+        # the same compiled loop WITH the reference's skipping heuristic
+        # (jump by EC run length, SURVEY.md 3.3) — the strongest
+        # single-core stand-in, signature-exact up to the ~1e-7/window
+        # error-collision caveat; pairs against the fast mode above
+        cpu_skip_windows = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            cbm.map(codes[0], use_skip=True)
+            cpu_skip_windows.append(codes[0].shape[0]
+                                    / (time.perf_counter() - t0))
+        cpu_skip_rps = max(cpu_skip_windows)
+        log(f"[bench] CPU 1-core compiled+skip: best {cpu_skip_rps:,.0f} "
+            f"reads/s of {[f'{r:,.0f}' for r in cpu_skip_windows]}")
         cbm.close()
     else:  # no C toolchain: fall back to the oracle stand-in
         cpu_rps = oracle_rps
+        cpu_skip_rps = oracle_rps
+        cpu_skip_windows = []
         cpu_kind = "in-process numpy/dict oracle mapper (no C toolchain)"
 
     vs_baseline = device_rps / (10.0 * cpu_rps)
@@ -255,6 +300,20 @@ def main() -> int:
         "extra": {
             "window_reads_per_s": [round(r, 1) for r in window_rates],
             "median_reads_per_s": round(float(np.median(window_rates)), 1),
+            # FAST mode (probe_sample=16, the vectorized analog of the
+            # reference's skipping heuristic): zero mapped delta, >=99.8%
+            # per-signature agreement on this workload
+            # (benchmarks/micro_sample.py). Its fair CPU pairing is the
+            # compiled core WITH the reference's skip heuristic below.
+            "fast_mode_reads_per_s": round(fast_rps, 1),
+            "fast_mode_sample_stride": fast_stride,
+            "fast_mode_window_reads_per_s": [round(r, 1)
+                                             for r in fast_rates],
+            "fast_vs_cpu_skip_baseline": round(
+                fast_rps / (10.0 * cpu_skip_rps), 3),
+            "cpu_1core_skip_reads_per_s": round(cpu_skip_rps, 1),
+            "cpu_1core_skip_window_reads_per_s": [
+                round(r, 1) for r in cpu_skip_windows],
             "em_iterations_per_s": round(em_ss_it_s, 1),
             "em_convergence_iterations_per_s": round(em_it_s, 1),
             "tpm_max_abs_err_vs_f64_oracle": tpm_err,
@@ -263,12 +322,13 @@ def main() -> int:
                                              for r in cpu_windows],
             "cpu_1core_oracle_reads_per_s": round(oracle_rps, 1),
             # the same compiled baseline at GENCODE scale (27.4M k-mers,
-            # 805 MB DRAM-bound table) measures ~189k reads/s — too slow
-            # to re-run inside this bench; reproduce with
-            # benchmarks/cpu_baseline_scale.py (measured 2026-08-21,
-            # docs/PERFORMANCE.md). At that scale one chip maps 910k
-            # mate-reads/s, a ~4.8x per-chip ratio (BASELINE.md).
-            "cpu_1core_gencode_reads_per_s_documented": 189000,
+            # 805 MB DRAM-bound table): dense ~170k reads/s, with the
+            # skip heuristic ~645k — too slow to re-run inside this
+            # bench; reproduce with benchmarks/cpu_baseline_scale.py
+            # (measured 2026-08-21). At that scale one chip maps 890-
+            # 1020k mate-reads/s dense/fast (benchmarks/configs.py 2).
+            "cpu_1core_gencode_reads_per_s_documented": 170000,
+            "cpu_1core_gencode_skip_reads_per_s_documented": 645000,
             # no reference binary exists on this machine (SURVEY.md 0):
             # the 10x-per-chip target [BASELINE.json:5] is measured against
             # a compiled single-threaded C mapper of the reference's

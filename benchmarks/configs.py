@@ -141,13 +141,14 @@ def config1(args):
     rng, index, seqs, _ = _world(args.transcripts)
     B, L = args.batch, args.read_len
     codes, _ = simulate_packed_batches(rng, seqs, args.batches + 1, B, L)
-    cfg = MapConfig(batch_size=B, probe_stride=args.stride)
+    cfg = MapConfig(batch_size=B, probe_stride=args.stride,
+                    probe_sample=args.sample)
     mapper = Mapper(index, cfg)
     batches = [ReadBatch(codes[i], np.full(B, L, np.int32),
                          np.ones(B, np.int32)) for i in range(len(codes))]
     rps = _time_mapper(mapper, batches, B)
     _emit("config1_reads_per_s_per_chip", rps, "reads/s",
-          {"stride": args.stride})
+          {"stride": args.stride, "sample": args.sample})
 
 
 def config2(args):
@@ -162,7 +163,7 @@ def config2(args):
     # pair a unique union-signature — the degenerate accumulate-heavy case
     c1, c2, _ = simulate_packed_pairs(rng, seqs, args.batches + 1, B, L)
     cfg = MapConfig(batch_size=B, paired_end=True, probe_stride=args.stride,
-                    sig_table_bits=22)
+                    probe_sample=args.sample, sig_table_bits=22)
     mapper = Mapper(index, cfg)
     lengths = np.full(B, L, np.int32)
     w = np.ones(B, np.int32)
@@ -172,7 +173,7 @@ def config2(args):
     _emit("config2_pairs_per_s_per_chip", rps, "pairs/s",
           {"transcripts": index.num_transcripts,
            "kmers": index.num_kmers, "index_build_s": round(build_s, 1),
-           "stride": args.stride})
+           "stride": args.stride, "sample": args.sample})
 
 
 def config3(args):
@@ -283,6 +284,9 @@ def main():
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--sample", type=int, default=0,
+                    help="two-phase fast mode sampling stride "
+                         "(MapConfig.probe_sample; configs 1/2)")
     ap.add_argument("--paired", action="store_true",
                     help="config 4: route read PAIRS (mates' windows "
                          "through one all_to_all dispatch)")

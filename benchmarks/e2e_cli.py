@@ -109,6 +109,39 @@ def _run_infer(paths: dict, outdir: str, extra_flags: list[str]) -> dict:
     }
 
 
+def _run_warm(paths: dict, sample: int = 0) -> dict:
+    """Steady-state end-to-end: TWO full library-level runs in THIS
+    process (round-4 verdict item 2). The first run pays the per-process
+    remote compile (~30-45 s on this rig, inside its map timer); the
+    second reuses every jitted program, so its map wall isolates what
+    production actually sees per dataset — ingest + H2D + device compute
+    with prefetch overlap, compile amortized."""
+    sys.path.insert(0, REPO)
+    from seekmer_tpu.config import EMConfig, MapConfig, PipelineConfig
+    from seekmer_tpu.index.store import KMerIndex
+    from seekmer_tpu.models.quantifier import Quantifier
+
+    index = KMerIndex.load(paths["idx"])
+    cfg = PipelineConfig(
+        map=MapConfig(paired_end=True, probe_sample=sample),
+        em=EMConfig(accel="squarem"))
+    out = {}
+    for arm in ("cold", "warm"):
+        t0 = time.perf_counter()
+        r = Quantifier(index, cfg).quantify_files([paths["r1"]],
+                                                  [paths["r2"]])
+        wall = time.perf_counter() - t0
+        out[arm] = {
+            "wall_s": round(wall, 1),
+            "map_s": round(r.timings["map_s"], 1),
+            "em_s": round(r.timings["em_s"], 1),
+            "p_mapped": round(r.mapped / max(r.total_reads, 1), 4),
+            "pairs_per_s_map": round(r.total_reads / r.timings["map_s"], 1),
+        }
+        print(f"[e2e] {arm}: {out[arm]}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=1_000_000)
@@ -118,6 +151,12 @@ def main() -> int:
                     help="run twice: packed H2D (default) vs --no-h2d-pack")
     ap.add_argument("--no-pack-only", action="store_true",
                     help="run only the --no-h2d-pack arm")
+    ap.add_argument("--warm", action="store_true",
+                    help="steady-state arm: two library runs in ONE "
+                         "process; the second isolates compile-amortized "
+                         "end-to-end throughput")
+    ap.add_argument("--probe-sample", type=int, default=0,
+                    help="fast-mode sampling stride for the --warm arm")
     ap.add_argument("--prep-only", action="store_true",
                     help="simulate/write/index the dataset and exit "
                          "(host-only; safe while the chip is busy)")
@@ -128,6 +167,10 @@ def main() -> int:
         print(json.dumps({"prepared": True, "pairs": args.pairs}))
         return 0
     out = {"pairs": args.pairs}
+    if args.warm:
+        out["warm_process"] = _run_warm(paths, sample=args.probe_sample)
+        print(json.dumps(out))
+        return 0
     if not args.no_pack_only:
         print("[e2e] infer (2-bit packed H2D)...", file=sys.stderr)
         out["packed"] = _run_infer(paths, os.path.join(args.workdir, "out_p"),

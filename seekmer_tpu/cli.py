@@ -69,6 +69,11 @@ def _add_infer(sub):
     p.add_argument("--probe-stride", type=int, default=1,
                    help="probe every Nth window with run-length coverage "
                         "(1 = bit-exact dense)")
+    p.add_argument("--probe-sample", type=int, default=0,
+                   help="FAST mode: sample every Nth window; one-EC reads "
+                        "resolve early, ambiguous reads re-probe densely "
+                        "(opt-in approximation — see MapConfig."
+                        "probe_sample; 0 = exact dense)")
     p.add_argument("--io-workers", type=int, default=0,
                    help="concurrent FASTQ decode threads (0 = auto, "
                         "1 = serial; forced serial with --checkpoint)")
@@ -164,6 +169,7 @@ def cmd_infer(args) -> int:
             sig_table_bits=args.sig_table_bits,
             paired_end=bool(args.mates),
             probe_stride=args.probe_stride,
+            probe_sample=args.probe_sample,
             probe_chunks=args.probe_chunks,
             io_workers=args.io_workers,
             pack_backend=args.pack_backend,

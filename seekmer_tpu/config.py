@@ -102,6 +102,16 @@ class MapConfig:
     # >1 differs only when a sequencing-error window collides with an
     # indexed k-mer (~1e-7 per window).
     probe_stride: int = 1
+    # Two-phase early-exit probing (ops/probe.two_phase_signatures), the
+    # opt-in FAST mode: 0/1 = off (dense, bit-exact vs the oracle);
+    # >= 2 = phase 1 probes every Nth window and reads whose sampled hits
+    # name ONE distinct EC resolve immediately; ambiguous / zero-hit
+    # reads are re-probed densely (exact for them). Approximation: a
+    # resolved read's signature misses ECs whose runs are shorter than
+    # the sample stride and lie strictly between agreeing samples — a
+    # SUBSET of its dense signature. Distinct from probe_stride (which
+    # is exact via run-length proofs and measured SLOWER than dense).
+    probe_sample: int = 0
     # Process the probe's lanes in this many sequential chunks to bound the
     # gathered-bucket-rows transient (4*bucket_size int32 per lane: GBs at
     # GENCODE batch sizes). 0 = auto (chunks sized so the transient stays

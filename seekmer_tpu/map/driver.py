@@ -200,6 +200,24 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                                   stride, chunks=chunks,
                                   bucket_lookup=bucket_lookup)
 
+    def two_phase(h, l, v, segments):
+        from ..ops.probe import two_phase_signatures
+        from .signature import SIG_PAD
+
+        chunks = _auto_probe_chunks(
+            cfg, h.shape[0] * (h.shape[1] // cfg.probe_sample + 1),
+            di.bucket)
+        return two_phase_signatures(
+            h, l, v, segments, lambda c, ln: pack(c, ln, di.k),
+            di.table, di.main_slots, di.stash, di.stash_slots,
+            di.bucket, cfg.probe_sample, cfg.max_ecs_per_read, sig_fn,
+            int(SIG_PAD), chunks=chunks, bucket_lookup=bucket_lookup)
+
+    # the fast mode covers the dense single/paired signature paths; the
+    # strided-exact and fusion modes keep their own machinery
+    sample_mode = (cfg.probe_sample >= 2 and stride <= 1
+                   and not cfg.fusion_pairs)
+
     hi, lo, valid = pack(codes, lengths, di.k)
     if codes2 is not None:
         hi2, lo2, valid2 = pack(codes2, lengths2, di.k)
@@ -212,6 +230,18 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             # each mate separately.
             ecs = jnp.concatenate([lk(hi, lo, valid), lk(hi2, lo2, valid2)],
                                   axis=1)
+        elif sample_mode:
+            # fast mode on pairs: classify/resolve over the concatenated
+            # mates (the pair signature is the union of both mates' EC
+            # hits, so one-EC agreement across ALL samples of both mates
+            # resolves the pair; anything else falls back densely)
+            sig, mapped = two_phase(
+                jnp.concatenate([hi, hi2], axis=1),
+                jnp.concatenate([lo, lo2], axis=1),
+                jnp.concatenate([valid, valid2], axis=1),
+                [(codes, lengths), (codes2, lengths2)])
+            return accumulate(table, sig, mapped, weights=weights,
+                              sig_probe=cfg.sig_probe, audit=audit)
         else:
             # dense mode: both mates through ONE lookup call (windows
             # concatenated along the position axis) so the stash round +
@@ -233,6 +263,10 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                               sig_probe=cfg.sig_probe,
                               audit=audit)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
+    elif sample_mode:
+        sig, mapped = two_phase(hi, lo, valid, [(codes, lengths)])
+        return accumulate(table, sig, mapped, weights=weights,
+                          sig_probe=cfg.sig_probe, audit=audit)
     else:
         ecs = lk(hi, lo, valid)
     sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)

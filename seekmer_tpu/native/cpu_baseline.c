@@ -30,6 +30,7 @@
 typedef struct {
   uint64_t *keys;
   int32_t *ecs;
+  uint8_t *aux; /* per-key EC run length (skip distance), 0 if unknown */
   uint64_t mask; /* table_size - 1, power of two */
   int k;
 } cpu_index;
@@ -43,17 +44,19 @@ static inline uint64_t mix64(uint64_t x) { /* splitmix64 finalizer */
   return x;
 }
 
-void *seekmer_cpu_build(const uint64_t *keys, const int32_t *ecs, long n,
-                        int k) {
+void *seekmer_cpu_build(const uint64_t *keys, const int32_t *ecs,
+                        const uint8_t *aux, long n, int k) {
   long size = 64;
   while (size < 2 * n) size <<= 1; /* load <= 0.5 */
   cpu_index *ix = (cpu_index *)malloc(sizeof *ix);
   if (!ix) return NULL;
   ix->keys = (uint64_t *)malloc((size_t)size * 8);
   ix->ecs = (int32_t *)malloc((size_t)size * 4);
-  if (!ix->keys || !ix->ecs) {
+  ix->aux = (uint8_t *)calloc((size_t)size, 1);
+  if (!ix->keys || !ix->ecs || !ix->aux) {
     free(ix->keys);
     free(ix->ecs);
+    free(ix->aux);
     free(ix);
     return NULL;
   }
@@ -65,6 +68,7 @@ void *seekmer_cpu_build(const uint64_t *keys, const int32_t *ecs, long n,
     while (ix->keys[h] != EMPTY_KEY) h = (h + 1) & ix->mask;
     ix->keys[h] = keys[i];
     ix->ecs[h] = ecs[i];
+    if (aux) ix->aux[h] = aux[i];
   }
   return ix;
 }
@@ -74,6 +78,7 @@ void seekmer_cpu_free(void *h) {
   if (!ix) return;
   free(ix->keys);
   free(ix->ecs);
+  free(ix->aux);
   free(ix);
 }
 
@@ -90,7 +95,7 @@ void seekmer_cpu_free(void *h) {
  */
 long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
                      int max_ecs, uint64_t *sig_keys, int64_t *sig_counts,
-                     long sig_size, int64_t *sig_used_io) {
+                     long sig_size, int64_t *sig_used_io, int use_skip) {
   cpu_index *ix = (cpu_index *)h;
   const int k = ix->k;
   const uint64_t mask2k = (1ULL << (2 * k)) - 1; /* k <= 29 < 32 */
@@ -104,6 +109,7 @@ long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
     const uint8_t *row = codes + r * L;
     uint64_t fwd = 0, rc = 0;
     int run = 0; /* consecutive valid bases ending here */
+    int skip = 0; /* windows provably sharing the last hit's EC */
     int32_t set[64];
     int ns = 0, complex_read = 0;
     for (long p = 0; p < L; p++) {
@@ -111,17 +117,30 @@ long seekmer_cpu_map(void *h, const uint8_t *codes, long B, long L,
       if (c > 3) { /* invalid base poisons the next k-1 windows */
         run = 0;
         fwd = rc = 0;
+        skip = 0;
         continue;
       }
       fwd = ((fwd << 2) | c) & mask2k; /* big-endian 2-bit pack */
       rc = (rc >> 2) | ((uint64_t)(3 - c) << shift_rc);
       if (++run < k) continue;
+      if (skip > 0) {
+        /* the reference's contig-match-length skipping (SURVEY.md 3.3):
+         * the last hit's run length proves the next `aux` windows share
+         * its EC in every indexed context, so probing them cannot change
+         * the signature set (caveat identical to the strided-exact TPU
+         * mode: a sequencing-error window inside the run that would have
+         * COLLIDED with a different indexed k-mer, ~1e-7/window). The
+         * rolling update above still runs — only the probe is saved. */
+        skip--;
+        continue;
+      }
       uint64_t key = fwd < rc ? fwd : rc; /* canonical = min */
       uint64_t s = mix64(key) & ix->mask;
       int32_t ec = -1;
       while (ix->keys[s] != EMPTY_KEY) {
         if (ix->keys[s] == key) {
           ec = ix->ecs[s];
+          if (use_skip) skip = ix->aux[s];
           break;
         }
         s = (s + 1) & ix->mask;

@@ -56,7 +56,7 @@ def get_lib():
     lib.seekmer_cpu_build.restype = ctypes.c_void_p
     lib.seekmer_cpu_build.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
     ]
     lib.seekmer_cpu_free.restype = None
     lib.seekmer_cpu_free.argtypes = [ctypes.c_void_p]
@@ -65,7 +65,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_long, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
     ]
     _lib = lib
     return _lib
@@ -91,9 +91,14 @@ class CpuBaselineMapper:
         keys = np.ascontiguousarray(
             join_key(rows[occ, 0], rows[occ, 1], index.k))
         ecs = np.ascontiguousarray(rows[occ, 2].astype(np.int32))
+        # per-key EC run lengths (aux column) power the optional skipping
+        # heuristic — the reference's contig-match-length jump
+        aux = np.ascontiguousarray(
+            np.clip(rows[occ, 3], 0, 255).astype(np.uint8))
         self._h = lib.seekmer_cpu_build(
             keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ecs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            aux.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             keys.size, index.k)
         if not self._h:
             raise MemoryError("cpu baseline index allocation failed")
@@ -104,9 +109,15 @@ class CpuBaselineMapper:
         # load-0.5 overflow bound holds for the table's whole lifetime
         self._sig_used = np.zeros(1, np.int64)
 
-    def map(self, codes: np.ndarray, max_ecs: int = 16) -> int:
+    def map(self, codes: np.ndarray, max_ecs: int = 16,
+            use_skip: bool = False) -> int:
         """Map uint8[B, L] code rows; returns mapped-read count and
-        accumulates per-distinct-signature counts internally."""
+        accumulates per-distinct-signature counts internally.
+
+        ``use_skip`` enables the reference's skipping heuristic
+        (SURVEY.md 3.3: jump by the hit's EC run length) — same
+        signature sets up to the ~1e-7/window error-collision caveat of
+        the strided-exact TPU mode; probes saved scale with run length."""
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
         B, L = codes.shape
         n = self._lib.seekmer_cpu_map(
@@ -116,7 +127,8 @@ class CpuBaselineMapper:
             self.sig_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             self.sig_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self.sig_size,
-            self._sig_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            self._sig_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            1 if use_skip else 0)
         if n < 0:
             raise RuntimeError("baseline signature table overflow; "
                                "raise sig_bits")

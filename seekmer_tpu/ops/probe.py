@@ -255,6 +255,109 @@ def lookup_ecs(
     return ec
 
 
+def two_phase_signatures(
+    hi, lo, valid, segments, pack_fn, table, main_slots: int, stash,
+    stash_slots: int, bucket: int, stride: int, max_ecs: int, sig_fn,
+    sig_pad, chunks: int = 1, bucket_lookup=None,
+    fallback_frac: float = 1.0 / 8,
+):
+    """Two-phase early-exit probing — the opt-in fast mode
+    (MapConfig.probe_sample; round-4 verdict item 1a). Attacks the one
+    axis no dense optimization can: LANE COUNT. The wide bucket gather is
+    per-lane-cost-bound (docs/PERFORMANCE.md), so probing all P windows
+    of every read is the entire probe cost; most reads lie inside one
+    EC run and are determined by a few windows.
+
+    Phase 1 probes every ``stride``-th window (plus the last). A read
+    whose sampled hits name exactly ONE distinct EC resolves immediately
+    with signature {EC}. Reads with >= 2 sampled ECs (junction reads —
+    their dense signature could contain transition ECs between samples)
+    or ZERO sampled hits (short valid spans, heavy errors, junk) are
+    row-compacted and probed DENSELY in phase 2, keeping exact dense
+    semantics for every ambiguous case.
+
+    Approximation (documented, measured in benchmarks/configs.py
+    --sample A/B): a resolved read's dense signature would contain MORE
+    ECs only if a short EC run (< stride windows) lies strictly between
+    two samples that agree — then the fast signature is a SUBSET of the
+    dense one. No run-length proofs are used (the measured strided dead
+    end, docs/PERFORMANCE.md); this trades that exactness for lane count
+    on the unambiguous majority.
+
+    Phase 2 runs as capped compacted rounds (cap = fallback_frac * B
+    reads per round) with a residual while_loop, the same
+    cost-bounding pattern as the stash pass — coverage is exact, only
+    per-round cost is capped. The default cap (B/8) exceeds typical
+    fallback fractions (~8-9% measured on the shared-prefix config-1
+    world), so the while_loop almost never iterates — a loop ITERATION
+    costs disproportionately (its scatters copy the (B, C) signature
+    buffer through the carried state; measured +9 ms/batch when the cap
+    forced one extra round).
+
+    ``segments`` is a list of (codes uint8[B, L], lengths) pairs whose
+    packed windows, concatenated, equal (hi, lo, valid) — one entry
+    single-end, two for mates. Phase 2 gathers the compacted reads'
+    RAW CODE ROWS (one cheap byte-row gather) and re-packs them with
+    ``pack_fn`` on device instead of gathering three int32 window-row
+    arrays (3x the gather lanes; measured ~2x the round cost).
+
+    Returns (sig int32[B, C], mapped bool[B]) — same contract as
+    ``sig_fn(dense ecs)``.
+    """
+    B, P = hi.shape
+    s = max(stride, 2)
+
+    def sample(x):
+        return jnp.concatenate([x[:, ::s], x[:, P - 1:]], axis=1)
+
+    ec_s = lookup_ecs(sample(hi), sample(lo), sample(valid), table,
+                      main_slots, stash, stash_slots, bucket,
+                      chunks=chunks, bucket_lookup=bucket_lookup)
+    hit = ec_s >= 0
+    mx = jnp.max(jnp.where(hit, ec_s, -1), axis=1)
+    one_ec = jnp.all(~hit | (ec_s == mx[:, None]), axis=1)
+    resolved = (mx >= 0) & one_ec
+
+    C = max_ecs
+    first_col = jnp.where(resolved, mx, jnp.int32(sig_pad))
+    sig = jnp.concatenate(
+        [first_col[:, None], jnp.full((B, C - 1), sig_pad, jnp.int32)],
+        axis=1)
+    mapped = resolved
+
+    cap = max(int(B * fallback_frac), 128)
+
+    def dense_round(state):
+        sig, mapped, need = state
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        ok = need & (rank < cap)
+        residual = need & ~ok
+        pos = jnp.where(ok, rank, cap)
+        rowmap = jnp.full(cap + 1, B, jnp.int32).at[pos].set(
+            jnp.arange(B, dtype=jnp.int32), mode="drop")
+        rows = rowmap[:cap]  # source read per compacted slot; B = filler
+        ri = jnp.minimum(rows, B - 1)
+        real = (rows < B)[:, None]
+        packed = [pack_fn(codes[ri], lengths[ri])
+                  for codes, lengths in segments]
+        c_hi = jnp.concatenate([p[0] for p in packed], axis=1)
+        c_lo = jnp.concatenate([p[1] for p in packed], axis=1)
+        c_valid = jnp.concatenate([p[2] for p in packed], axis=1) & real
+        ec_d = lookup_ecs(c_hi, c_lo, c_valid, table,
+                          main_slots, stash, stash_slots, bucket,
+                          bucket_lookup=bucket_lookup)
+        sig_d, mapped_d = sig_fn(ec_d, c_valid, C)
+        dst = jnp.where(rows < B, rows, B)  # B out of bounds -> dropped
+        sig = sig.at[dst].set(sig_d, mode="drop")
+        mapped = mapped.at[dst].set(mapped_d, mode="drop")
+        return sig, mapped, residual
+
+    sig, mapped, residual = dense_round((sig, mapped, ~resolved))
+    sig, mapped, _ = jax.lax.while_loop(
+        lambda st: st[2].any(), dense_round, (sig, mapped, residual))
+    return sig, mapped
+
+
 def lookup_ecs_strided(
     hi, lo, valid, table, main_slots: int, stash, stash_slots: int,
     bucket: int, stride: int, chunks: int = 1, bucket_lookup=None,

@@ -288,3 +288,128 @@ def test_audit_sampling_schedule():
         [True, False, False, False, True, False]
     assert audit_this_batch(MapConfig(collision_audit_every=1), 3)
     assert not audit_this_batch(MapConfig(collision_audit=False), 0)
+
+
+def _sig_dict(result):
+    return {tuple(row[row != int(SIG_PAD)].tolist()): int(n)
+            for row, n in zip(result.sigs, result.sig_counts)}
+
+
+def test_two_phase_single_ec_world_exact():
+    """FAST mode (MapConfig.probe_sample): in a world where every read
+    lies inside one EC run (single transcript — every k-mer maps to EC 0),
+    every read resolves in phase 1 and the result equals dense exactly."""
+    rng = np.random.default_rng(5)
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    index = build_index_from_seqs(["t0"], [seq])
+    sim = simulate_reads(rng, [seq], num_reads=300, read_len=100,
+                         error_rate=0.0)
+    reads_b = [r.encode() for r in sim.reads1]
+    res = {}
+    for sample in (0, 4):
+        cfg = MapConfig(batch_size=128, sig_table_bits=12,
+                        probe_sample=sample)
+        res[sample] = Mapper(index, cfg).run(batch_reads(reads_b, cfg))
+    assert _sig_dict(res[4]) == _sig_dict(res[0])
+    assert res[4].mapped == res[0].mapped == 300
+
+
+def test_two_phase_ambiguous_reads_fall_back_exact(setup):
+    """Reads whose samples see >= 2 ECs (junction reads) or zero hits
+    (junk) must be re-probed densely — their signatures equal the dense
+    mapper's EXACTLY. Error-free reads on a shared-prefix transcriptome
+    exercise both resolved and fallback classes; with stride 2 every
+    EC-run transition of length >= 2 is sampled, so any difference is
+    confined to single-window runs (none in this fixture — assert
+    full equality)."""
+    index, seqs, _ = setup
+    rng = np.random.default_rng(17)
+    sim = simulate_reads(rng, seqs, num_reads=400, read_len=100,
+                        error_rate=0.0)
+    junk = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(40)]
+    reads_b = [r.encode() for r in list(sim.reads1) + junk]
+    res = {}
+    for sample in (0, 2):
+        cfg = MapConfig(batch_size=128, sig_table_bits=12,
+                        max_ecs_per_read=8, probe_sample=sample)
+        res[sample] = Mapper(index, cfg).run(batch_reads(reads_b, cfg))
+    d0, d2 = _sig_dict(res[0]), _sig_dict(res[2])
+    assert res[2].total_reads == res[0].total_reads
+    # fast signatures are subsets of dense ones; with stride 2 on clean
+    # reads they should agree outright here
+    assert d2 == d0
+    assert res[2].mapped == res[0].mapped
+
+
+def test_two_phase_residual_rounds_cover_all_reads():
+    """A fallback cap smaller than the ambiguous-read count must drain
+    through residual while_loop rounds with exact coverage (the same
+    pattern as the stash pass)."""
+    from seekmer_tpu.map.driver import DeviceIndex
+    from seekmer_tpu.map.signature import read_signatures
+    from seekmer_tpu.ops.probe import two_phase_signatures
+
+    rng = np.random.default_rng(23)
+    names, seqs = random_transcriptome(
+        rng, num_transcripts=30, min_len=150, max_len=600,
+        shared_prefix_frac=0.8)
+    index = build_index_from_seqs(names, seqs)
+    sim = simulate_reads(rng, seqs, num_reads=256, read_len=100,
+                         error_rate=0.02)
+    cfg = MapConfig(batch_size=256, sig_table_bits=12)
+    di = DeviceIndex.from_host(index)
+    codes = np.full((256, 100), 4, np.uint8)
+    code_of = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for i, r in enumerate(sim.reads1):
+        codes[i, :len(r)] = [code_of[b] for b in r]
+    lengths = jnp.full(256, 100, jnp.int32)
+    hi, lo, valid = pack_canonical(jnp.asarray(codes), lengths, index.k)
+
+    dense_ec = lookup_ecs(hi, lo, valid, di.table, di.main_slots, di.stash,
+                          di.stash_slots, di.bucket)
+    sig_ref, mapped_ref = read_signatures(dense_ec, valid,
+                                          cfg.max_ecs_per_read)
+
+    for frac in (1.0, 1.0 / 64):  # cap 256 (one round) and cap 128+... 4
+        sig, mapped = two_phase_signatures(
+            hi, lo, valid, [(jnp.asarray(codes), lengths)],
+            lambda c, ln: pack_canonical(c, ln, index.k),
+            di.table, di.main_slots, di.stash,
+            di.stash_slots, di.bucket, 2, cfg.max_ecs_per_read,
+            read_signatures, int(SIG_PAD), fallback_frac=frac)
+        sig, mapped = np.asarray(sig), np.asarray(mapped)
+        # every read is either phase-1 resolved (single-EC subset) or
+        # exactly dense; here check the invariants read by read
+        for i in range(256):
+            ref_sig = set(np.asarray(sig_ref)[i].tolist()) - {int(SIG_PAD)}
+            got_sig = set(sig[i].tolist()) - {int(SIG_PAD)}
+            if got_sig != ref_sig:
+                assert got_sig and got_sig.issubset(ref_sig), (i, got_sig,
+                                                               ref_sig)
+            if not mapped[i]:
+                assert not np.asarray(mapped_ref)[i] or len(ref_sig) > \
+                    cfg.max_ecs_per_read
+
+
+def test_two_phase_paired_matches_dense_on_clean_pairs(rng):
+    """Paired fast mode: clean same-EC pairs resolve; discordant-ish pairs
+    fall back. Equality with dense on an error-free isoform world."""
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.utils.simulate import (
+        isoform_transcriptome, simulate_packed_pairs,
+    )
+
+    names, seqs, genes = isoform_transcriptome(rng, num_genes=10)
+    c1, c2, _ = simulate_packed_pairs(rng, seqs, 1, 128, read_len=96,
+                                      error_rate=0.0)
+    L = np.full(128, 96, np.int32)
+    w = np.ones(128, np.int32)
+    index = build_index_from_seqs(names, seqs, genes=genes)
+    res = {}
+    for sample in (0, 2):
+        cfg = MapConfig(batch_size=128, paired_end=True, sig_table_bits=12,
+                        probe_sample=sample)
+        m = Mapper(index, cfg)
+        m.feed(ReadBatch(c1[0], L, w, codes2=c2[0], lengths2=L))
+        res[sample] = m.finalize()
+    assert _sig_dict(res[2]) == _sig_dict(res[0])
