@@ -270,6 +270,8 @@ def test_sharded_mappers_reject_packed_batches(setup):
     from seekmer_tpu.io.fastq import pack_batch_2bit, ReadBatch
     from seekmer_tpu.parallel.data_parallel import DataParallelMapper
 
+    if len(jax.devices()) < 8:  # on-chip pass (SEEKMER_TEST_TPU=1): 1 chip
+        pytest.skip("needs the 8-device fake mesh")
     index, seqs, sim = setup
     cfg = MapConfig(batch_size=16, sig_table_bits=10)
     dp = DataParallelMapper(index, cfg, ShardConfig(data_axis=8))
