@@ -163,7 +163,9 @@ def config2(args):
     # pair a unique union-signature — the degenerate accumulate-heavy case
     c1, c2, _ = simulate_packed_pairs(rng, seqs, args.batches + 1, B, L)
     cfg = MapConfig(batch_size=B, paired_end=True, probe_stride=args.stride,
-                    probe_sample=args.sample, sig_table_bits=22)
+                    probe_sample=args.sample,
+                    sample_fallback_frac=args.sample_fallback,
+                    sig_table_bits=22)
     mapper = Mapper(index, cfg)
     lengths = np.full(B, L, np.int32)
     w = np.ones(B, np.int32)
@@ -287,6 +289,9 @@ def main():
     ap.add_argument("--sample", type=int, default=0,
                     help="two-phase fast mode sampling stride "
                          "(MapConfig.probe_sample; configs 1/2)")
+    ap.add_argument("--sample-fallback", type=float, default=0.125,
+                    help="fast-mode phase-2 cap fraction "
+                         "(MapConfig.sample_fallback_frac)")
     ap.add_argument("--paired", action="store_true",
                     help="config 4: route read PAIRS (mates' windows "
                          "through one all_to_all dispatch)")

@@ -109,9 +109,19 @@ class MapConfig:
     # reads are re-probed densely (exact for them). Approximation: a
     # resolved read's signature misses ECs whose runs are shorter than
     # the sample stride and lie strictly between agreeing samples — a
-    # SUBSET of its dense signature. Distinct from probe_stride (which
-    # is exact via run-length proofs and measured SLOWER than dense).
+    # SUBSET of its dense signature (which also means a read dense mode
+    # would call complex, > max_ecs_per_read distinct, can count as
+    # mapped here). Distinct from probe_stride (which is exact via
+    # run-length proofs and measured SLOWER than dense).
     probe_sample: int = 0
+    # Fast-mode phase-2 cap as a fraction of the batch: each dense
+    # fallback round re-probes at most this many reads; residual reads
+    # drain through further while_loop rounds (exact coverage, but an
+    # extra ROUND measured +9 ms — size the cap above the workload's
+    # fallback fraction: ~0.1 suffices for config-1-like worlds, ~0.5
+    # for isoform/GENCODE paired ones where half the pairs carry a
+    # multi-EC mate).
+    sample_fallback_frac: float = 0.125
     # Process the probe's lanes in this many sequential chunks to bound the
     # gathered-bucket-rows transient (4*bucket_size int32 per lane: GBs at
     # GENCODE batch sizes). 0 = auto (chunks sized so the transient stays

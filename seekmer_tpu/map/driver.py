@@ -200,7 +200,7 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                                   stride, chunks=chunks,
                                   bucket_lookup=bucket_lookup)
 
-    def two_phase(h, l, v, segments):
+    def two_phase(h, l, v, segments, seg_widths=None):
         from ..ops.probe import two_phase_signatures
         from .signature import SIG_PAD
 
@@ -211,7 +211,8 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             h, l, v, segments, lambda c, ln: pack(c, ln, di.k),
             di.table, di.main_slots, di.stash, di.stash_slots,
             di.bucket, cfg.probe_sample, cfg.max_ecs_per_read, sig_fn,
-            int(SIG_PAD), chunks=chunks, bucket_lookup=bucket_lookup)
+            int(SIG_PAD), chunks=chunks, bucket_lookup=bucket_lookup,
+            fallback_frac=cfg.sample_fallback_frac, seg_widths=seg_widths)
 
     # the fast mode covers the dense single/paired signature paths; the
     # strided-exact and fusion modes keep their own machinery
@@ -231,15 +232,16 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             ecs = jnp.concatenate([lk(hi, lo, valid), lk(hi2, lo2, valid2)],
                                   axis=1)
         elif sample_mode:
-            # fast mode on pairs: classify/resolve over the concatenated
-            # mates (the pair signature is the union of both mates' EC
-            # hits, so one-EC agreement across ALL samples of both mates
-            # resolves the pair; anything else falls back densely)
+            # fast mode on pairs: PER-MATE resolution (each mate zero-hit
+            # or single-EC -> pair signature = sorted distinct of the
+            # mates' ECs, the paired union semantics); any multi-EC mate
+            # falls back to a dense probe of the whole pair
             sig, mapped = two_phase(
                 jnp.concatenate([hi, hi2], axis=1),
                 jnp.concatenate([lo, lo2], axis=1),
                 jnp.concatenate([valid, valid2], axis=1),
-                [(codes, lengths), (codes2, lengths2)])
+                [(codes, lengths), (codes2, lengths2)],
+                seg_widths=[hi.shape[1], hi2.shape[1]])
             return accumulate(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe, audit=audit)
         else:

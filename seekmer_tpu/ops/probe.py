@@ -259,7 +259,7 @@ def two_phase_signatures(
     hi, lo, valid, segments, pack_fn, table, main_slots: int, stash,
     stash_slots: int, bucket: int, stride: int, max_ecs: int, sig_fn,
     sig_pad, chunks: int = 1, bucket_lookup=None,
-    fallback_frac: float = 1.0 / 8,
+    fallback_frac: float = 1.0 / 8, seg_widths=None,
 ):
     """Two-phase early-exit probing — the opt-in fast mode
     (MapConfig.probe_sample; round-4 verdict item 1a). Attacks the one
@@ -268,13 +268,18 @@ def two_phase_signatures(
     of every read is the entire probe cost; most reads lie inside one
     EC run and are determined by a few windows.
 
-    Phase 1 probes every ``stride``-th window (plus the last). A read
-    whose sampled hits name exactly ONE distinct EC resolves immediately
-    with signature {EC}. Reads with >= 2 sampled ECs (junction reads —
-    their dense signature could contain transition ECs between samples)
-    or ZERO sampled hits (short valid spans, heavy errors, junk) are
-    row-compacted and probed DENSELY in phase 2, keeping exact dense
-    semantics for every ambiguous case.
+    Phase 1 probes every ``stride``-th window (plus the last) of each
+    SEGMENT (mate). Resolution is per segment: a read resolves when
+    every segment's sampled hits name at most ONE distinct EC (a
+    zero-hit segment contributes nothing — the paired wildcard-mate
+    semantics) and at least one segment hit; its signature is the
+    sorted distinct set of the segments' ECs (so mates lying in
+    DIFFERENT single-EC runs — the common isoform paired case —
+    resolve without dense work). Reads with any multi-EC segment
+    (junction reads — their dense signature could contain transition
+    ECs between samples) or zero hits anywhere (short valid spans,
+    heavy errors, junk) are row-compacted and probed DENSELY in phase
+    2, keeping exact dense semantics for every ambiguous case.
 
     Approximation (documented, measured in benchmarks/configs.py
     --sample A/B): a resolved read's dense signature would contain MORE
@@ -284,77 +289,159 @@ def two_phase_signatures(
     end, docs/PERFORMANCE.md); this trades that exactness for lane count
     on the unambiguous majority.
 
-    Phase 2 runs as capped compacted rounds (cap = fallback_frac * B
-    reads per round) with a residual while_loop, the same
-    cost-bounding pattern as the stash pass — coverage is exact, only
-    per-round cost is capped. The default cap (B/8) exceeds typical
-    fallback fractions (~8-9% measured on the shared-prefix config-1
-    world), so the while_loop almost never iterates — a loop ITERATION
-    costs disproportionately (its scatters copy the (B, C) signature
-    buffer through the carried state; measured +9 ms/batch when the cap
-    forced one extra round).
+    Phase 2 runs as capped compacted rounds over (read, segment) UNITS
+    with a residual while_loop, the same cost-bounding pattern as the
+    stash pass — coverage is exact, only per-round cost is capped. Size
+    fallback_frac above the workload's fallback fraction (config.py
+    sample_fallback_frac): an extra while_loop ITERATION costs
+    disproportionately (its scatters copy the staging buffer through
+    the carried state, measured +9 ms/batch), while an oversized cap
+    wastes its filler lanes' gathers (measured at GENCODE: frac 0.5 ran
+    0.7x the speed of frac 0.125 at ~10% fallback).
 
     ``segments`` is a list of (codes uint8[B, L], lengths) pairs whose
     packed windows, concatenated, equal (hi, lo, valid) — one entry
-    single-end, two for mates. Phase 2 gathers the compacted reads'
-    RAW CODE ROWS (one cheap byte-row gather) and re-packs them with
-    ``pack_fn`` on device instead of gathering three int32 window-row
-    arrays (3x the gather lanes; measured ~2x the round cost).
+    single-end, two for mates; ``seg_widths`` gives each segment's
+    window-column count in that concatenation (defaults to one segment
+    spanning all of P). Phase 2 gathers the compacted reads' RAW CODE
+    ROWS (one cheap byte-row gather) and re-packs them with ``pack_fn``
+    on device instead of gathering three int32 window-row arrays (3x
+    the gather lanes; measured ~2x the round cost).
 
     Returns (sig int32[B, C], mapped bool[B]) — same contract as
     ``sig_fn(dense ecs)``.
     """
     B, P = hi.shape
     s = max(stride, 2)
+    if seg_widths is None:
+        seg_widths = [P]
+    assert sum(seg_widths) == P, (seg_widths, P)
 
-    def sample(x):
-        return jnp.concatenate([x[:, ::s], x[:, P - 1:]], axis=1)
+    # static per-segment sampled columns (every s-th + each segment's
+    # last), gathered in ONE lookup call so the stash machinery is paid
+    # once; bounds index the sampled array per segment
+    cols, bounds, off, c0 = [], [], 0, 0
+    for Pg in seg_widths:
+        cg = list(range(off, off + Pg, s))
+        if cg[-1] != off + Pg - 1:
+            cg.append(off + Pg - 1)
+        cols += cg
+        bounds.append((c0, c0 + len(cg)))
+        c0 += len(cg)
+        off += Pg
+    cols_a = jnp.asarray(cols, jnp.int32)
 
-    ec_s = lookup_ecs(sample(hi), sample(lo), sample(valid), table,
-                      main_slots, stash, stash_slots, bucket,
+    ec_s = lookup_ecs(hi[:, cols_a], lo[:, cols_a], valid[:, cols_a],
+                      table, main_slots, stash, stash_slots, bucket,
                       chunks=chunks, bucket_lookup=bucket_lookup)
     hit = ec_s >= 0
-    mx = jnp.max(jnp.where(hit, ec_s, -1), axis=1)
-    one_ec = jnp.all(~hit | (ec_s == mx[:, None]), axis=1)
-    resolved = (mx >= 0) & one_ec
 
+    # per-segment classification: (zero-hit | single-EC) per segment,
+    # >= 1 hit overall
     C = max_ecs
-    first_col = jnp.where(resolved, mx, jnp.int32(sig_pad))
-    sig = jnp.concatenate(
-        [first_col[:, None], jnp.full((B, C - 1), sig_pad, jnp.int32)],
-        axis=1)
-    mapped = resolved
+    n_seg = len(seg_widths)
+    oks, mxs = [], []
+    any_hit = None
+    for (a, b) in bounds:
+        h_g = hit[:, a:b]
+        e_g = ec_s[:, a:b]
+        mx_g = jnp.max(jnp.where(h_g, e_g, -1), axis=1)
+        one_g = jnp.all(~h_g | (e_g == mx_g[:, None]), axis=1)
+        oks.append((mx_g < 0) | one_g)
+        mxs.append(mx_g)
+        any_hit = ((mx_g >= 0) if any_hit is None
+                   else (any_hit | (mx_g >= 0)))
+    resolved = any_hit
+    for ok_g in oks:
+        resolved = resolved & ok_g
 
-    cap = max(int(B * fallback_frac), 128)
+    # Every read's signature is assembled from a per-SEGMENT staging
+    # buffer: a good segment contributes its single EC (or nothing when
+    # zero-hit — the paired wildcard-mate rule); a bad segment stays PAD
+    # until a fallback round overwrites it with its dense distinct set.
+    # One uniform merge pass (sort / dedupe / cap over n_seg*C columns)
+    # then builds sig+mapped for ALL reads — resolved and probed alike.
+    staging = jnp.full((B, n_seg, C), sig_pad, jnp.int32)
+    for g in range(n_seg):
+        staging = staging.at[:, g, 0].set(
+            jnp.where(oks[g] & (mxs[g] >= 0), mxs[g], jnp.int32(sig_pad)))
 
-    def dense_round(state):
-        sig, mapped, need = state
-        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
-        ok = need & (rank < cap)
-        residual = need & ~ok
-        pos = jnp.where(ok, rank, cap)
-        rowmap = jnp.full(cap + 1, B, jnp.int32).at[pos].set(
-            jnp.arange(B, dtype=jnp.int32), mode="drop")
-        rows = rowmap[:cap]  # source read per compacted slot; B = filler
-        ri = jnp.minimum(rows, B - 1)
-        real = (rows < B)[:, None]
-        packed = [pack_fn(codes[ri], lengths[ri])
-                  for codes, lengths in segments]
-        c_hi = jnp.concatenate([p[0] for p in packed], axis=1)
-        c_lo = jnp.concatenate([p[1] for p in packed], axis=1)
-        c_valid = jnp.concatenate([p[2] for p in packed], axis=1) & real
-        ec_d = lookup_ecs(c_hi, c_lo, c_valid, table,
-                          main_slots, stash, stash_slots, bucket,
-                          bucket_lookup=bucket_lookup)
-        sig_d, mapped_d = sig_fn(ec_d, c_valid, C)
-        dst = jnp.where(rows < B, rows, B)  # B out of bounds -> dropped
-        sig = sig.at[dst].set(sig_d, mode="drop")
-        mapped = mapped.at[dst].set(mapped_d, mode="drop")
-        return sig, mapped, residual
+    # Fallback UNITS are (read, segment): only the ambiguous mate
+    # re-probes (at GENCODE-isoform scale most fallback pairs have ONE
+    # multi-EC mate, so this halves phase-2 lanes vs whole-pair rounds);
+    # a read with no sampled hit anywhere re-probes every segment (its
+    # zero-hit segments may have hits between samples).
+    unit_need = jnp.stack(
+        [(~resolved) & (~oks[g] | ~any_hit) for g in range(n_seg)],
+        axis=1)  # (B, n_seg)
+    # a segment alone exceeding C distinct ECs makes the whole read
+    # complex (union > C) even after merge truncation
+    force_unmapped = jnp.zeros(B, jnp.int32)
 
-    sig, mapped, residual = dense_round((sig, mapped, ~resolved))
-    sig, mapped, _ = jax.lax.while_loop(
-        lambda st: st[2].any(), dense_round, (sig, mapped, residual))
+    # pad segment code arrays to one width so a round can lane-select
+    # the probed segment (mates may sit in different length buckets)
+    Lmax = max(int(c.shape[1]) for c, _ in segments)
+    segs_p = []
+    for c, ln in segments:
+        if int(c.shape[1]) < Lmax:
+            c = jnp.pad(c, ((0, 0), (0, Lmax - int(c.shape[1]))),
+                        constant_values=4)
+        segs_p.append((c, ln))
+
+    U = B * n_seg
+    # per-round unit cap: n_seg x the read-count cap keeps the per-round
+    # LANE budget equal to the old whole-read rounds (a unit is 1/n_seg
+    # of a read's windows)
+    capu = max(int(B * fallback_frac) * n_seg, 128)
+
+    def unit_round(state):
+        staging, force_unmapped, need = state
+        nf = need.reshape(-1)  # unit u = b * n_seg + g
+        rank = jnp.cumsum(nf.astype(jnp.int32)) - 1
+        ok = nf & (rank < capu)
+        residual = (nf & ~ok).reshape(B, n_seg)
+        pos = jnp.where(ok, rank, capu)
+        umap = jnp.full(capu + 1, U, jnp.int32).at[pos].set(
+            jnp.arange(U, dtype=jnp.int32), mode="drop")
+        units = umap[:capu]  # source unit per compacted slot; U = filler
+        ub = jnp.minimum(units // n_seg, B - 1)
+        ug = units % n_seg
+        real = (units < U)[:, None]
+        c_sel, l_sel = None, None
+        for g, (c, ln) in enumerate(segs_p):
+            cg, lg = c[ub], ln[ub]
+            if c_sel is None:
+                c_sel, l_sel = cg, lg
+            else:
+                m = ug == g
+                c_sel = jnp.where(m[:, None], cg, c_sel)
+                l_sel = jnp.where(m, lg, l_sel)
+        h, l, v = pack_fn(c_sel, l_sel)
+        v = v & real
+        ec_d = lookup_ecs(h, l, v, table, main_slots, stash, stash_slots,
+                          bucket, bucket_lookup=bucket_lookup)
+        sig_d, mapped_d = sig_fn(ec_d, v, C)
+        fu = ((sig_d[:, 0] != sig_pad) & ~mapped_d).astype(jnp.int32)
+        dstb = jnp.where(units < U, ub, B)  # B out of bounds -> dropped
+        staging = staging.at[dstb, ug].set(sig_d, mode="drop")
+        force_unmapped = force_unmapped.at[dstb].max(fu, mode="drop")
+        return staging, force_unmapped, residual
+
+    staging, force_unmapped, residual = unit_round(
+        (staging, force_unmapped, unit_need))
+    staging, force_unmapped, _ = jax.lax.while_loop(
+        lambda st: st[2].any(), unit_round,
+        (staging, force_unmapped, residual))
+
+    # uniform merge: sorted distinct of all segment contributions
+    flat = jnp.sort(staging.reshape(B, n_seg * C), axis=1)
+    if n_seg * C > 1:
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), flat[:, 1:] == flat[:, :-1]], axis=1)
+        flat = jnp.sort(jnp.where(dup, jnp.int32(sig_pad), flat), axis=1)
+    sig = flat[:, :C]
+    over = (flat[:, C] != sig_pad) if n_seg * C > C else jnp.zeros(B, bool)
+    mapped = (flat[:, 0] != sig_pad) & ~over & (force_unmapped == 0)
     return sig, mapped
 
 
