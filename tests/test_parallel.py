@@ -202,3 +202,27 @@ def test_sharded_bootstrap_chunked_and_snapshot_resume(world):
     res = np.asarray(run_bootstrap_sharded(ec, index.lengths, em_cfg, mesh,
                                            alpha_init=a0, it_init=it0))
     np.testing.assert_array_equal(res, base)
+
+
+def test_dp_fast_mode_matches_single_chip(world):
+    """The two-phase fast mode runs inside the DP shard_map (map_step is
+    shared), and the merged result must equal the single-chip fast
+    mapper's exactly — per-shard fallback while_loops are collective-free
+    so divergent trip counts across shards are safe."""
+    index, sim = world
+    cfg = MapConfig(batch_size=512, sig_table_bits=12, probe_sample=4)
+    reads_b = [r.encode() for r in sim.reads1]
+
+    single = Mapper(index, cfg)
+    res_1 = single.run(batch_reads(reads_b, cfg))
+
+    mesh = make_mesh(ShardConfig(data_axis=8))
+    dp = DataParallelMapper(index, cfg, ShardConfig(data_axis=8), mesh=mesh)
+    res_8 = dp.run(batch_reads(reads_b, cfg))
+
+    def as_dict(r):
+        return {tuple(row[row != int(SIG_PAD)].tolist()): int(n)
+                for row, n in zip(r.sigs, r.sig_counts)}
+
+    assert res_8.total_reads == res_1.total_reads
+    assert as_dict(res_8) == as_dict(res_1)
