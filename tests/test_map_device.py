@@ -264,6 +264,18 @@ def test_mapper_packed_h2d_matches_unpacked(setup):
     assert (r1.sigs == r2.sigs).all()
     assert (r1.sig_counts == r2.sig_counts).all()
 
+    # the FAST mode composes with packed H2D: map_step unpacks on-device
+    # BEFORE two_phase sees the code rows, so phase-2's re-pack of
+    # compacted units reads the exact codes
+    cfg_f = MapConfig(batch_size=128, max_ecs_per_read=8,
+                      sig_table_bits=12, probe_sample=4)
+    rf1 = Mapper(index, cfg_f).run(batch_reads(reads_b, cfg_f))
+    rf2 = Mapper(index, cfg_f).run(device_put_batches(
+        batch_reads(reads_b, cfg_f), pack_2bit=True))
+    assert rf1.mapped == rf2.mapped
+    assert (rf1.sigs == rf2.sigs).all()
+    assert (rf1.sig_counts == rf2.sig_counts).all()
+
 
 def test_sharded_mappers_reject_packed_batches(setup):
     from seekmer_tpu.config import ShardConfig
