@@ -61,6 +61,52 @@ def worker(process_id: int) -> None:
           f"iters={int(it)} max_abs_err_vs_local={err:.3g}", flush=True)
     assert err < 1e-2, err
 
+    # CHUNKED collective EM across processes: the host-driven block loop
+    # adapts its enqueue count k from local timing, which must be agreed
+    # across hosts (process-0 broadcast, round-4 fix) or the collective
+    # block programs deadlock; state must equal the while_loop form.
+    alpha_c, it_c = run_em_collective(ec, lengths, cfg, mesh, shard_cfg,
+                                      chunked=True)
+    assert int(it_c) == int(it), (int(it_c), int(it))
+    np.testing.assert_array_equal(np.asarray(alpha_c), np.asarray(alpha))
+    print(f"[proc {process_id}] chunked collective EM state-identical "
+          f"across processes", flush=True)
+
+    # Sharded bootstrap, chunked + stage snapshots, across processes: the
+    # snapshot hook allgathers the replicate-sharded alpha (collective —
+    # every host joins, only process 0 records), and resuming from a
+    # mid-run snapshot must replay to the identical result.
+    from jax.experimental import multihost_utils as _mhu
+
+    from seekmer_tpu.parallel.bootstrap_shard import run_bootstrap_sharded
+    from seekmer_tpu.parallel.ckpt_mp import allgather_host
+
+    em_b = EMConfig(rel_tol=1e-8, check_every=8, max_iters=200,
+                    bootstrap_samples=8, bootstrap_seed=9)
+    base = allgather_host(run_bootstrap_sharded(
+        ec, lengths, em_b, mesh, shard_cfg, chunked=False))
+    saves = []
+    hook = (lambda a, i: saves.append((a, i))) if process_id == 0 else None
+    chk = allgather_host(run_bootstrap_sharded(
+        ec, lengths, em_b, mesh, shard_cfg, chunked=True,
+        snapshots=True, on_sync=hook))
+    np.testing.assert_array_equal(chk, base)
+    n_saves = int(np.asarray(_mhu.broadcast_one_to_all(
+        np.int64(len(saves)))))
+    if n_saves:
+        a0 = (saves[0][0] if process_id == 0
+              else np.zeros((ec.num_transcripts, 8)))
+        it0 = np.int64(saves[0][1] if process_id == 0 else 0)
+        a0 = np.asarray(_mhu.broadcast_one_to_all(
+            np.asarray(a0, np.float64)))
+        it0 = int(np.asarray(_mhu.broadcast_one_to_all(it0)))
+        res = allgather_host(run_bootstrap_sharded(
+            ec, lengths, em_b, mesh, shard_cfg, alpha_init=a0,
+            it_init=it0, chunked=True))
+        np.testing.assert_array_equal(res, base)
+    print(f"[proc {process_id}] sharded bootstrap chunked+snapshots "
+          f"across processes (resumed from {n_saves} saves)", flush=True)
+
     # DP mapping across processes: each host feeds its shard of a global
     # batch (per-host FASTQ shards, BASELINE config 3); the merged result
     # must equal single-chip mapping of all reads.
