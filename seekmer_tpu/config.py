@@ -86,6 +86,16 @@ class MapConfig:
     # EXCLUSIVELY in unaudited batches go unreported (the counter is a
     # diagnostic for an ~U^2/2^64-probability event, not an exact tally).
     collision_audit_every: int = 8
+    def __post_init__(self):
+        if self.probe_sample >= 2 and self.probe_stride > 1:
+            raise ValueError(
+                "probe_sample (two-phase fast mode) and probe_stride "
+                "(strided-exact mode) are mutually exclusive — pick one")
+        if self.probe_sample >= 2 and self.fusion_pairs:
+            raise ValueError(
+                "probe_sample is not supported in fusion mode (fusion "
+                "needs full per-mate signatures; run dense)")
+
     # Paired-end: a mate with zero k-mer hits contributes nothing (wildcard);
     # both mates empty => unmapped. Matches intersect-mates semantics
     # (reference mapper.py paired-end handling [BASELINE.json:8]).
