@@ -242,6 +242,9 @@ def cmd_infer(args) -> int:
                     {"mean": result.fld_mean, "sd": result.fld_sd,
                      "samples": result.fld_samples}),
             "bootstrap_samples": args.bootstrap,
+            # auditability: record whether this run used the fast mode's
+            # documented approximation (0 = dense/exact)
+            "probe_sample": args.probe_sample,
             "start_time": start_time,
             "timings": result.timings,
             "index": args.index,
