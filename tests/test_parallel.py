@@ -19,6 +19,11 @@ from seekmer_tpu.parallel.mesh import make_mesh
 from seekmer_tpu.utils.simulate import random_transcriptome, simulate_reads
 from tests.oracle import oracle
 
+# the on-chip pass (SEEKMER_TEST_TPU=1) runs on ONE real device; every
+# test here needs the 8-device fake mesh
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device fake mesh")
+
 
 @pytest.fixture(scope="module")
 def world():
