@@ -27,7 +27,7 @@ from ..ops.kmer_pack import pack_canonical
 from ..ops.probe import lookup_ecs, lookup_ecs_strided
 from .signature import (
     SigTable,
-    accumulate,
+    fold_batch,
     make_sig_table,
     read_signatures,
     table_to_host,
@@ -242,7 +242,7 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                 jnp.concatenate([valid, valid2], axis=1),
                 [(codes, lengths), (codes2, lengths2)],
                 seg_widths=[hi.shape[1], hi2.shape[1]])
-            return accumulate(table, sig, mapped, weights=weights,
+            return fold_batch(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe, audit=audit)
         else:
             # dense mode: both mates through ONE lookup call (windows
@@ -261,18 +261,18 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                                    cfg.max_ecs_per_read)
             sig = jnp.concatenate([sig1, sig2], axis=1)
             mapped = mapped1 & mapped2
-            return accumulate(table, sig, mapped, weights=weights,
+            return fold_batch(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe,
                               audit=audit)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
     elif sample_mode:
         sig, mapped = two_phase(hi, lo, valid, [(codes, lengths)])
-        return accumulate(table, sig, mapped, weights=weights,
+        return fold_batch(table, sig, mapped, weights=weights,
                           sig_probe=cfg.sig_probe, audit=audit)
     else:
         ecs = lk(hi, lo, valid)
     sig, mapped = sig_fn(ecs, valid, cfg.max_ecs_per_read)
-    return accumulate(table, sig, mapped, weights=weights,
+    return fold_batch(table, sig, mapped, weights=weights,
                       sig_probe=cfg.sig_probe, audit=audit)
 
 
@@ -285,7 +285,12 @@ class Mapper:
         self.cfg = cfg
         self.device_index = DeviceIndex.from_host(index, device=device)
         sig_width = cfg.max_ecs_per_read * (2 if cfg.fusion_pairs else 1)
-        self.table = make_sig_table(cfg.sig_table_bits, sig_width)
+        # fusion rows hold per-mate signature halves, so the single-EC
+        # direct path cannot read them — fusion tables get the placeholder
+        # ec_count and fold everything through the CAS
+        self.table = make_sig_table(
+            cfg.sig_table_bits, sig_width,
+            num_ecs=0 if cfg.fusion_pairs else index.num_ecs)
         self.total_reads = 0
         self._fed_batches = 0
         self._steps: Dict[Tuple[int, bool, bool, bool], callable] = {}
@@ -361,7 +366,10 @@ class Mapper:
         loaded = load_map_checkpoint(path)
         if loaded is None:
             return None
-        self.table, self.total_reads, stream_state = loaded
+        table, self.total_reads, stream_state = loaded
+        from ..utils.checkpoint import adapt_ec_count
+
+        self.table = adapt_ec_count(table, self.table.ec_count.shape)
         return stream_state if stream_state is not None else {}
 
     def make_fld_estimator(self):
@@ -374,22 +382,13 @@ class Mapper:
         return FLDEstimator(self.index, self.device_index)
 
     def finalize(self) -> MapResult:
+        # merge_sig_rows dedups signatures present in BOTH the CAS table
+        # and the direct per-EC vector (possible after restoring a
+        # pre-direct checkpoint) and logs overflow/collision warnings
         sigs, counts = table_to_host(self.table)
-        overflow = int(self.table.overflow)
-        collisions = int(self.table.collisions)
-        mapped = int(counts.sum())
-        if overflow:
-            log.warning(
-                "%d mapped reads lost to signature-table overflow; "
-                "increase MapConfig.sig_table_bits", overflow)
-        if collisions:
-            log.warning(
-                "%d reads hit a 64-bit signature-fingerprint collision "
-                "(counts merged into another signature's row; documented "
-                "approximation, config.py)", collisions)
-        return MapResult(sigs=sigs, sig_counts=counts,
-                         total_reads=self.total_reads, mapped=mapped,
-                         overflow=overflow, collisions=collisions)
+        return merge_sig_rows(sigs, counts.astype(np.int64),
+                              self.total_reads, int(self.table.overflow),
+                              collisions=int(self.table.collisions))
 
 
 def _group_member_lists(flat: np.ndarray, lens: np.ndarray,

@@ -59,9 +59,18 @@ class SigTable(NamedTuple):
     collisions: jnp.ndarray  # int32[] reads whose signature row differed
     # from the stored row of the slot their fingerprint matched (64-bit
     # fingerprint collision -> counts of two distinct signatures merged)
+    # Direct per-EC counts for SINGLE-EC signatures (the measured ~90%
+    # majority): int32[E+1], last slot = dump. Exact — no fingerprint,
+    # no CAS, no collision exposure — and ~4x cheaper than folding the
+    # majority through the CAS (accumulate_direct). Shape (1,) = the
+    # placeholder of a table built without num_ecs (fusion mode, old
+    # checkpoints, micro-benches): every row then folds through the CAS.
+    ec_count: jnp.ndarray
 
 
-def make_sig_table(bits: int, max_ecs: int) -> SigTable:
+def make_sig_table(bits: int, max_ecs: int, num_ecs: int = 0) -> SigTable:
+    """``num_ecs`` > 0 enables the direct per-EC count vector for
+    single-EC signatures (fold_batch routes on its shape)."""
     if bits < 3:
         raise ValueError("sig_table_bits must be >= 3 (one KB=8 bucket)")
     S = 1 << bits
@@ -71,6 +80,7 @@ def make_sig_table(bits: int, max_ecs: int) -> SigTable:
         sig=jnp.full((S + 1, max_ecs), SIG_PAD),
         overflow=jnp.zeros((), jnp.int32),
         collisions=jnp.zeros((), jnp.int32),
+        ec_count=jnp.zeros(num_ecs + 1 if num_ecs > 0 else 1, jnp.int32),
     )
 
 
@@ -239,13 +249,84 @@ def accumulate(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
         mismatch = resolved & jnp.any(stored != sig, axis=1)
         collisions = collisions + jnp.where(mismatch, w, 0).sum().astype(
             jnp.int32)
-    return SigTable(key=key, count=count, sig=sigtab,
-                    overflow=table.overflow + lost, collisions=collisions)
+    return table._replace(key=key, count=count, sig=sigtab,
+                          overflow=table.overflow + lost,
+                          collisions=collisions)
+
+
+def accumulate_direct(table: SigTable, sig: jnp.ndarray,
+                      mapped: jnp.ndarray,
+                      weights: jnp.ndarray | None = None,
+                      sig_probe: int = 32, audit: bool = True) -> SigTable:
+    """Split accumulate (round 4): SINGLE-EC signature rows — the
+    measured ~90% majority in both probe modes — count into the table's
+    exact per-EC direct vector (one scatter-add, no fingerprint, no
+    collision exposure), and only multi-EC rows fold through the CAS
+    table (same batch shape, single rows weight-zeroed). Semantically
+    identical count totals to plain accumulate; finalize merges the
+    direct vector as [e] signature rows (table_to_host), deduplicating
+    against any CAS-resident copies.
+
+    An earlier form also row-COMPACTED the multi-EC minority into capped
+    CAS rounds (to make the CAS cost scale with it); measured at GENCODE
+    scale it REGRESSED 7% — the residual while_loop carries the (S, C)
+    signature buffer (268 MB at bits=22) through its state — so the CAS
+    runs at full batch shape and this split's value is the exactness of
+    the majority path, not speed (both measured within noise of plain
+    accumulate at config-1)."""
+    B, C = sig.shape
+    E1 = table.ec_count.shape[0]
+    w = jnp.where(mapped,
+                  jnp.ones(B, jnp.int32) if weights is None else weights, 0)
+    single = (w > 0) & (sig[:, 0] != SIG_PAD)
+    if C > 1:
+        single = single & (sig[:, 1] == SIG_PAD)
+    tgt = jnp.where(single, sig[:, 0], jnp.int32(E1 - 1))
+    ec_count = table.ec_count.at[tgt].add(jnp.where(single, w, 0))
+    ec_count = ec_count.at[E1 - 1].set(0)  # scrub the dump slot
+    table = table._replace(ec_count=ec_count)
+    return accumulate(table, sig, mapped & ~single,
+                      weights=jnp.where(single, 0, w),
+                      sig_probe=sig_probe, audit=audit)
+
+
+def fold_batch(table: SigTable, sig: jnp.ndarray, mapped: jnp.ndarray,
+               weights: jnp.ndarray | None = None, sig_probe: int = 32,
+               audit: bool = True) -> SigTable:
+    """Batch-fold dispatcher: accumulate_direct when the table carries a
+    real per-EC vector (make_sig_table(num_ecs=...)), else the plain CAS
+    accumulate (fusion-mode tables, placeholder tables)."""
+    if table.ec_count.shape[0] > 1:
+        return accumulate_direct(table, sig, mapped, weights=weights,
+                                 sig_probe=sig_probe, audit=audit)
+    return accumulate(table, sig, mapped, weights=weights,
+                      sig_probe=sig_probe, audit=audit)
+
+
+def direct_rows(ec_count: np.ndarray, C: int):
+    """Host-side: nonzero per-EC direct counts -> ([e, PAD...] signature
+    rows, counts). The dump (last) slot is excluded."""
+    ec = np.asarray(ec_count)
+    nz = np.flatnonzero(ec[:-1] > 0)
+    rows = np.full((nz.size, C), int(SIG_PAD), np.int32)
+    if nz.size:
+        rows[:, 0] = nz.astype(np.int32)
+    return rows, ec[nz].astype(np.int64)
 
 
 def table_to_host(table: SigTable):
-    """Pull occupied rows to host: (sigs int32[U, C], counts int64[U])."""
+    """Pull occupied rows to host: (sigs int32[U, C], counts int64[U]).
+    Includes the direct per-EC counts as single-EC rows; a signature
+    present in BOTH stores (e.g. after restoring a pre-direct checkpoint)
+    is deduplicated by the caller's merge (merge_sig_rows)."""
     count = np.asarray(table.count)
     sig = np.asarray(table.sig)
     occ = count > 0
-    return sig[occ], count[occ].astype(np.int64)
+    sigs, counts = sig[occ], count[occ].astype(np.int64)
+    ec = np.asarray(table.ec_count)
+    if ec.shape[0] > 1:
+        drows, dcounts = direct_rows(ec, sig.shape[1])
+        if drows.shape[0]:
+            sigs = np.concatenate([sigs, drows])
+            counts = np.concatenate([counts, dcounts])
+    return sigs, counts

@@ -160,6 +160,9 @@ def restore_mapper_checkpoint(mapper, path: str, sharding):
         raise ValueError(
             "checkpoint table shape does not match this mapper's mesh/"
             "sig_table_bits configuration")
+    from ..utils.checkpoint import adapt_ec_count
+
+    table = adapt_ec_count(table, mapper.table.ec_count.shape)
     mapper.table = SigTable(*(put(x) for x in table))
     mapper.total_reads = total_reads
     return stream_state if stream_state is not None else {}

@@ -75,7 +75,9 @@ class DataParallelMapper:
         # Per-chip tables, materialized as one global array sharded on dim 0:
         # chip d owns rows [d*(S+1), (d+1)*(S+1)).
         data = _shard_spec(self.mesh, shard_cfg, shard_cfg.data_axis_name)
-        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read,
+                               num_ecs=0 if cfg.fusion_pairs
+                               else index.num_ecs)
         def tile0(x):
             return jnp.tile(x, (self.n_shards,) + (1,) * (x.ndim - 1))
 
@@ -87,6 +89,7 @@ class DataParallelMapper:
                 jnp.zeros(self.n_shards, jnp.int32), data),
             collisions=jax.device_put(
                 jnp.zeros(self.n_shards, jnp.int32), data),
+            ec_count=jax.device_put(tile0(local.ec_count), data),
         )
         self.total_reads = 0
         self._ckpt_step = 0
@@ -108,17 +111,18 @@ class DataParallelMapper:
             bucket=self.index.bucket, k=self.index.k,
         )
         tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec,
-                            collisions=dspec)
+                            collisions=dspec, ec_count=dspec)
 
         def local_step(di, table, codes, lengths, weights,
                        codes2=None, lengths2=None):
             # overflow/collisions are per-shard: scalar inside, [1] outside
             t = SigTable(table.key, table.count, table.sig,
-                         table.overflow[0], table.collisions[0])
+                         table.overflow[0], table.collisions[0],
+                         table.ec_count)
             t = map_step(di, cfg, t, codes, lengths, weights,
                          codes2=codes2, lengths2=lengths2, audit=audit)
             return SigTable(t.key, t.count, t.sig, t.overflow[None],
-                            t.collisions[None])
+                            t.collisions[None], t.ec_count)
 
         n_data = 5 + (2 if paired else 0)
         sm = jax.shard_map(
@@ -216,9 +220,18 @@ class DataParallelMapper:
 
             self.total_reads = int(multihost_utils.process_allgather(
                 np.int64(self.total_reads)).sum())
-        count = self._host(self.table.count)
+        count = self._host(self.table.count).astype(np.int64)
         sig = self._host(self.table.sig)
         overflow = int(self._host(self.table.overflow).sum())
         collisions = int(self._host(self.table.collisions).sum())
+        ec = self._host(self.table.ec_count)
+        if ec.size > self.n_shards:  # real per-chip direct vectors
+            from ..map.signature import direct_rows
+
+            ec_sum = ec.reshape(self.n_shards, -1).sum(axis=0)
+            drows, dcounts = direct_rows(ec_sum, sig.shape[1])
+            if drows.shape[0]:
+                sig = np.concatenate([sig, drows])
+                count = np.concatenate([count, dcounts])
         return merge_sig_rows(sig, count, self.total_reads, overflow,
                               collisions=collisions)

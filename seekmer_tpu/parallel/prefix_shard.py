@@ -42,7 +42,8 @@ from ..index.build import _next_pow2, build_bucket_table
 from ..index.store import EMPTY, KMerIndex
 from ..io.fastq import ReadBatch
 from ..map.driver import MapResult, merge_sig_rows
-from ..map.signature import SigTable, accumulate, make_sig_table, read_signatures
+from ..map.signature import (SigTable, fold_batch, make_sig_table,
+                             read_signatures)
 from ..ops.hash import hash_kmer, hash_kmer_stash
 from ..ops.kmer_pack import pack_canonical
 from ..ops.probe import lookup_ecs
@@ -307,7 +308,9 @@ class PrefixShardedMapper:
         )
         both = (shard_cfg.data_axis_name, shard_cfg.index_axis_name)
         self.both_axes = both
-        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read)
+        local = make_sig_table(cfg.sig_table_bits, cfg.max_ecs_per_read,
+                               num_ecs=0 if cfg.fusion_pairs
+                               else index.num_ecs)
 
         def tile0(x):
             x = np.asarray(x)
@@ -321,6 +324,7 @@ class PrefixShardedMapper:
             overflow=self._put_global(np.zeros(self.n_dev, np.int32), bspec),
             collisions=self._put_global(
                 np.zeros(self.n_dev, np.int32), bspec),
+            ec_count=self._put_global(tile0(local.ec_count), bspec),
         )
         self.total_reads = 0
         self._ckpt_step = 0
@@ -347,7 +351,7 @@ class PrefixShardedMapper:
         def local_step(sdi, table, codes, lengths, weights,
                        codes2=None, lengths2=None):
             t = SigTable(table.key, table.count, table.sig, table.overflow[0],
-                         table.collisions[0])
+                         table.collisions[0], table.ec_count)
             hi, lo, valid = pack_canonical(codes, lengths, sdi.k)
             if codes2 is not None:
                 # paired-end: both mates route through ONE dispatch
@@ -360,10 +364,10 @@ class PrefixShardedMapper:
                 valid = jnp.concatenate([valid, valid2], axis=1)
             ecs, extra = routed_lookup(hi, lo, valid, sdi, iaxis, K)
             sig, mapped = read_signatures(ecs, valid, cfg.max_ecs_per_read)
-            t = accumulate(t, sig, mapped, weights=weights,
+            t = fold_batch(t, sig, mapped, weights=weights,
                            sig_probe=cfg.sig_probe, audit=audit)
             return (SigTable(t.key, t.count, t.sig, t.overflow[None],
-                             t.collisions[None]),
+                             t.collisions[None], t.ec_count),
                     extra[None])
 
         dspec = P(both)
@@ -373,7 +377,7 @@ class PrefixShardedMapper:
             bucket=sdi.bucket, k=sdi.k, n_shards=sdi.n_shards,
         )
         tab_spec = SigTable(key=dspec, count=dspec, sig=dspec, overflow=dspec,
-                            collisions=dspec)
+                            collisions=dspec, ec_count=dspec)
         n_data = 5 + (2 if paired else 0)
 
         sm = jax.shard_map(
@@ -514,8 +518,18 @@ class PrefixShardedMapper:
             # per-host read counters -> global total (DP finalize pattern)
             self.total_reads = int(multihost_utils.process_allgather(
                 np.int64(self.total_reads)).sum())
-        return merge_sig_rows(self._host(self.table.sig),
-                              self._host(self.table.count),
+        sig = self._host(self.table.sig)
+        count = self._host(self.table.count).astype(np.int64)
+        ec = self._host(self.table.ec_count)
+        if ec.size > self.n_dev:  # real per-chip direct vectors
+            from ..map.signature import direct_rows
+
+            ec_sum = ec.reshape(self.n_dev, -1).sum(axis=0)
+            drows, dcounts = direct_rows(ec_sum, sig.shape[1])
+            if drows.shape[0]:
+                sig = np.concatenate([sig, drows])
+                count = np.concatenate([count, dcounts])
+        return merge_sig_rows(sig, count,
                               self.total_reads,
                               int(self._host(self.table.overflow).sum()),
                               collisions=int(

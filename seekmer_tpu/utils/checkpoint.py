@@ -82,6 +82,7 @@ def save_map_checkpoint(
             sig=np.asarray(table.sig),
             overflow=np.asarray(table.overflow),
             collisions=np.asarray(table.collisions),
+            ec_count=np.asarray(table.ec_count),
             **arrays,
         )
     os.replace(tmp, path)
@@ -113,11 +114,34 @@ def load_map_checkpoint(
             collisions=jnp.asarray(
                 z["collisions"] if "collisions" in z.files
                 else np.zeros_like(z["overflow"])),
+            # absent in pre-direct-count checkpoints: the (1,) zero
+            # placeholder; restore paths adapt it to the mapper's shape
+            # (adapt_ec_count)
+            ec_count=jnp.asarray(
+                z["ec_count"] if "ec_count" in z.files
+                else np.zeros(1, np.int32)),
         )
         cursor = _cursor_from_npz(z, meta["cursor"])
         if with_step:
             return table, meta["total_reads"], cursor, meta.get("step", 0)
         return table, meta["total_reads"], cursor
+
+
+def adapt_ec_count(table, target_shape):
+    """Fit a loaded table's direct per-EC vector to the mapper's shape:
+    pre-direct checkpoints carry the (1,) zero placeholder (every count
+    lives in the CAS rows — substituting zeros is exact); any NONZERO
+    shape mismatch means a different index and is refused."""
+    ec = np.asarray(table.ec_count)
+    if ec.shape == tuple(target_shape):
+        return table
+    if ec.any():
+        raise ValueError(
+            "checkpoint's per-EC direct counts have shape "
+            f"{ec.shape} != {tuple(target_shape)} (different index?); "
+            "refusing to restore")
+    return table._replace(
+        ec_count=np.zeros(target_shape, np.int32))
 
 
 def host_cursor_path(path: str, process_index: int) -> str:
