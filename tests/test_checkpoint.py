@@ -3,6 +3,8 @@ stream mid-run and resuming must reproduce the uninterrupted result."""
 
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -129,6 +131,8 @@ def test_paired_checkpoint_resume(tmp_path, world):
 
 
 def test_dp_mapper_checkpoint_resume(tmp_path, world):
+    if len(jax.devices()) < 8:  # on-chip pass: 1 real device
+        pytest.skip("needs the 8-device fake mesh")
     """Multi-chip checkpoint/resume on the fake mesh (VERDICT round-1
     item 7: 'allgather + save the sharded SigTable for the DP mapper')."""
     from seekmer_tpu.config import ShardConfig
@@ -165,6 +169,8 @@ def test_dp_mapper_checkpoint_resume(tmp_path, world):
 
 
 def test_prefix_mapper_checkpoint_resume(tmp_path, world):
+    if len(jax.devices()) < 8:  # on-chip pass: 1 real device
+        pytest.skip("needs the 8-device fake mesh")
     """Checkpoint/resume for the PREFIX-SHARDED mapper on the fake mesh
     (VERDICT round-2 item 3): same sharded-table save/restore pattern as
     the DP mapper, table sharded over both mesh axes. Paired-end to cover
@@ -647,6 +653,8 @@ def test_multiprocess_checkpoint_step_mismatch_refused(tmp_path, world):
 
 
 def test_multiprocess_checkpoint_refused_single_process(tmp_path, world):
+    if len(jax.devices()) < 8:  # on-chip pass: 1 real device
+        pytest.skip("needs the 8-device fake mesh")
     """A checkpoint written by a MULTI-process save (total_reads is the -1
     sentinel; the authoritative counters live in per-host sidecars) must be
     refused by a single-process restore — silently restoring it leaves
