@@ -100,7 +100,10 @@ def main() -> int:
     import dataclasses as _dc
 
     def dataclasses_replace_cfg(c, sample):
-        return _dc.replace(c, probe_sample=sample)
+        # force probe_stride=1: the fast arm always runs two-phase mode,
+        # and inheriting --probe-stride > 1 would trip MapConfig's
+        # mutual-exclusion validation mid-bench (round-4 advisor finding)
+        return _dc.replace(c, probe_sample=sample, probe_stride=1)
 
     def batch(i):
         return ReadBatch(codes=codes[i], lengths=lengths, weights=weights)

@@ -115,8 +115,9 @@ class MapConfig:
     # Two-phase early-exit probing (ops/probe.two_phase_signatures), the
     # opt-in FAST mode: 0/1 = off (dense, bit-exact vs the oracle);
     # >= 2 = phase 1 probes every Nth window and reads whose sampled hits
-    # name ONE distinct EC resolve immediately; ambiguous / zero-hit
-    # reads are re-probed densely (exact for them). Approximation: a
+    # name ONE distinct EC resolve immediately; a fallback read's
+    # ambiguous and zero-hit segments are re-probed densely (its
+    # single-EC segments keep their sampled EC). Approximation: a
     # resolved read's signature misses ECs whose runs are shorter than
     # the sample stride and lie strictly between agreeing samples — a
     # SUBSET of its dense signature (which also means a read dense mode

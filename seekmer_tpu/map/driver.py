@@ -207,12 +207,19 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
         chunks = _auto_probe_chunks(
             cfg, h.shape[0] * (h.shape[1] // cfg.probe_sample + 1),
             di.bucket)
+        # bound the phase-2 fallback rounds' transient the same way:
+        # capu units x one segment's window count lanes per round
+        n_seg = len(segments)
+        capu = max(int(h.shape[0] * cfg.sample_fallback_frac) * n_seg, 128)
+        win_max = max(int(c.shape[1]) for c, _ in segments) - di.k + 1
+        fb_chunks = _auto_probe_chunks(cfg, capu * win_max, di.bucket)
         return two_phase_signatures(
             h, l, v, segments, lambda c, ln: pack(c, ln, di.k),
             di.table, di.main_slots, di.stash, di.stash_slots,
             di.bucket, cfg.probe_sample, cfg.max_ecs_per_read, sig_fn,
             int(SIG_PAD), chunks=chunks, bucket_lookup=bucket_lookup,
-            fallback_frac=cfg.sample_fallback_frac, seg_widths=seg_widths)
+            fallback_frac=cfg.sample_fallback_frac, seg_widths=seg_widths,
+            fallback_chunks=fb_chunks)
 
     # the fast mode covers the dense single/paired signature paths; the
     # strided-exact and fusion modes keep their own machinery

@@ -260,6 +260,7 @@ def two_phase_signatures(
     stash_slots: int, bucket: int, stride: int, max_ecs: int, sig_fn,
     sig_pad, chunks: int = 1, bucket_lookup=None,
     fallback_frac: float = 1.0 / 8, seg_widths=None,
+    fallback_chunks: int = 1,
 ):
     """Two-phase early-exit probing — the opt-in fast mode
     (MapConfig.probe_sample; round-4 verdict item 1a). Attacks the one
@@ -278,8 +279,12 @@ def two_phase_signatures(
     resolve without dense work). Reads with any multi-EC segment
     (junction reads — their dense signature could contain transition
     ECs between samples) or zero hits anywhere (short valid spans,
-    heavy errors, junk) are row-compacted and probed DENSELY in phase
-    2, keeping exact dense semantics for every ambiguous case.
+    heavy errors, junk) fall back to phase 2: every segment of a
+    fallback read that is NOT single-EC (ambiguous or zero-hit — a
+    zero-hit segment may still have hits between samples) is
+    row-compacted and probed DENSELY; a fallback read's single-EC
+    segments keep their sampled EC, carrying the same subset
+    approximation as resolved reads.
 
     Approximation (documented, measured in benchmarks/configs.py
     --sample A/B): a resolved read's dense signature would contain MORE
@@ -366,13 +371,16 @@ def two_phase_signatures(
         staging = staging.at[:, g, 0].set(
             jnp.where(oks[g] & (mxs[g] >= 0), mxs[g], jnp.int32(sig_pad)))
 
-    # Fallback UNITS are (read, segment): only the ambiguous mate
-    # re-probes (at GENCODE-isoform scale most fallback pairs have ONE
-    # multi-EC mate, so this halves phase-2 lanes vs whole-pair rounds);
-    # a read with no sampled hit anywhere re-probes every segment (its
-    # zero-hit segments may have hits between samples).
+    # Fallback UNITS are (read, segment): only non-single-EC segments
+    # re-probe (at GENCODE-isoform scale most fallback pairs have ONE
+    # multi-EC mate, so this halves phase-2 lanes vs whole-pair rounds).
+    # A fallback read's ZERO-HIT segments re-probe too — they may have
+    # hits strictly between samples (round-4 advisor finding: skipping
+    # them dropped those hits and contradicted the documented fallback
+    # semantics); its single-EC segments keep their sampled EC (the
+    # documented subset approximation).
     unit_need = jnp.stack(
-        [(~resolved) & (~oks[g] | ~any_hit) for g in range(n_seg)],
+        [(~resolved) & (~oks[g] | (mxs[g] < 0)) for g in range(n_seg)],
         axis=1)  # (B, n_seg)
     # a segment alone exceeding C distinct ECs makes the whole read
     # complex (union > C) even after merge truncation
@@ -418,8 +426,13 @@ def two_phase_signatures(
                 l_sel = jnp.where(m, lg, l_sel)
         h, l, v = pack_fn(c_sel, l_sel)
         v = v & real
+        # fallback_chunks bounds the gathered-bucket-rows transient of the
+        # capu*window dense re-probe exactly as ``chunks`` bounds phase 1
+        # (round-4 advisor finding: unchunked, a GENCODE-paired fallback
+        # round's transient approached a half-batch dense probe's)
         ec_d = lookup_ecs(h, l, v, table, main_slots, stash, stash_slots,
-                          bucket, bucket_lookup=bucket_lookup)
+                          bucket, chunks=fallback_chunks,
+                          bucket_lookup=bucket_lookup)
         sig_d, mapped_d = sig_fn(ec_d, v, C)
         fu = ((sig_d[:, 0] != sig_pad) & ~mapped_d).astype(jnp.int32)
         dstb = jnp.where(units < U, ub, B)  # B out of bounds -> dropped

@@ -427,3 +427,51 @@ def test_two_phase_paired_matches_dense_on_clean_pairs(rng):
         m.feed(ReadBatch(c1[0], L, w, codes2=c2[0], lengths2=L))
         res[sample] = m.finalize()
     assert _sig_dict(res[2]) == _sig_dict(res[0])
+
+
+def test_two_phase_zero_hit_mate_reprobed_densely(rng):
+    """A fallback pair's ZERO-SAMPLED-HIT mate must re-probe densely:
+    its between-sample hits belong in the pair signature (round-4
+    advisor finding — they were silently dropped).
+
+    Construction: mate 1 straddles t0's shared/unique junction (two ECs
+    sampled -> the pair falls back); mate 2 carries a t1-unique k-mer
+    run confined strictly BETWEEN probe_sample=16's sampled windows
+    (0, 16, 32, 48, 64, 71), so its sampled hits are zero while its
+    dense signature names t1's unique EC."""
+    from seekmer_tpu.io.fastq import ReadBatch
+
+    t0 = "".join(rng.choice(list("ACGT"), size=600))
+    t1 = t0[:300] + "".join(rng.choice(list("ACGT"), size=300))
+    index = build_index_from_seqs(["t0", "t1"], [t0, t1])
+
+    # mate 1: t0[220:316] — sampled windows 0..48 lie in the shared
+    # prefix (EC {t0,t1}), 64/71 in t0's unique tail (EC {t0})
+    mate1 = t0[220:316]
+    # mate 2: 40 bp of t1's unique region, first base flipped (kills
+    # window 0), then 56 bp junk (windows >= 16 miss): dense hits only
+    # in windows 1..15 — none sampled at stride 16
+    u = t1[350:390]
+    flip = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    mate2 = flip[u[0]] + u[1:] + "".join(rng.choice(list("ACGT"), size=56))
+    assert len(mate1) == len(mate2) == 96
+
+    def codes_of(seq):
+        return enc.seq_to_codes(seq)[None, :]
+
+    L = np.full(1, 96, np.int32)
+    w = np.ones(1, np.int32)
+    res = {}
+    for sample in (0, 16):
+        cfg = MapConfig(batch_size=1, paired_end=True, sig_table_bits=10,
+                        probe_sample=sample)
+        m = Mapper(index, cfg)
+        m.feed(ReadBatch(codes_of(mate1), L, w,
+                         codes2=codes_of(mate2), lengths2=L))
+        res[sample] = m.finalize()
+    d0, d16 = _sig_dict(res[0]), _sig_dict(res[16])
+    # dense sees three ECs (shared, t0-unique, t1-unique); the fast pair
+    # must agree exactly — dropping mate 2 would lose t1's unique EC
+    (sig0,) = d0.keys()
+    assert len(sig0) == 3
+    assert d16 == d0
