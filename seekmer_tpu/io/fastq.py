@@ -303,34 +303,63 @@ def _effective_io_workers(cfg: MapConfig, n_streams: int) -> int:
     return min(w, n_streams)
 
 
+def _bucketer_batches(chunk_iter, cfg: MapConfig, paired: bool
+                      ) -> Iterator[ReadBatch]:
+    """Drain decoded chunks through the C bucketer (native.packer.Bucketer):
+    bucket placement runs in GIL-released C, removing the numpy bucket-copy
+    that capped the full ingest pipeline at ~1.3M reads/s against a 3.5M
+    reads/s raw decode (docs/PERFORMANCE.md "Host ingest")."""
+    from ..native.packer import Bucketer
+
+    B = cfg.batch_size
+    bk = Bucketer(B, cfg.max_read_len, cfg.length_bucket, paired)
+    try:
+        for chunk in chunk_iter:
+            if paired:
+                c1, l1, c2, l2 = chunk
+            else:
+                (c1, l1), c2, l2 = chunk, None, None
+            if bk.feed(c1, l1, c2, l2):
+                for c1b, l1b, c2b, l2b, _ in bk.pop_ready():
+                    yield ReadBatch(c1b, l1b, np.ones(B, np.int32),
+                                    codes2=c2b, lengths2=l2b)
+        for c1b, l1b, c2b, l2b, fill in bk.flush():
+            w = np.zeros(B, np.int32)
+            w[:fill] = 1
+            yield ReadBatch(c1b, l1b, w, codes2=c2b, lengths2=l2b)
+    finally:
+        bk.close()
+
+
 def batch_reads_native(
     paths, cfg: MapConfig
 ) -> Iterator[ReadBatch]:
     """Single-end batching through the C packer (falls back to Python).
 
-    With multiple input files and cfg.io_workers != 1, files are decoded
-    and packed concurrently (read order interleaves across files; counts
-    are order-independent). Callers needing a deterministic stream order
-    (checkpoint resume) use the serial Python path instead."""
+    Decode AND bucket placement both run inside GIL-released C calls. With
+    multiple input files and cfg.io_workers != 1, files are decoded
+    concurrently (read order interleaves across files; counts are
+    order-independent). Callers needing a deterministic stream order
+    (checkpoint resume) use CheckpointableBatchSource instead."""
     from ..native.packer import get_lib, stream_packed
 
     if get_lib() is None:
         yield from batch_reads(read_fastq_many(paths), cfg)
         return
-    acc = _BucketAccumulator(cfg)
     paths = list(paths)
     workers = _effective_io_workers(cfg, len(paths))
     if workers > 1:
         makers = [
             (lambda p=p: stream_packed(p, cfg.max_read_len)) for p in paths
         ]
-        for codes, lengths in _parallel_chunks(makers, workers):
-            yield from acc.add(codes, lengths)
+        chunk_iter = _parallel_chunks(makers, workers)
     else:
-        for path in paths:
-            for codes, lengths in stream_packed(path, cfg.max_read_len):
-                yield from acc.add(codes, lengths)
-    yield from acc.flush()
+        def serial():
+            for path in paths:
+                yield from stream_packed(path, cfg.max_read_len)
+
+        chunk_iter = serial()
+    yield from _bucketer_batches(chunk_iter, cfg, paired=False)
 
 
 def _aligned_chunks(stream1, stream2):
@@ -405,47 +434,7 @@ def batch_read_pairs_native(
     else:
         chunk_iter = _aligned_chunks(stream(paths1), stream(paths2))
 
-    B = cfg.batch_size
-    lb = cfg.length_bucket
-    pending: dict[int, list] = {}
-    for c1, l1, c2, l2 in chunk_iter:
-        buckets = np.minimum(
-            (np.maximum(np.maximum(l1, l2), 1) + lb - 1) // lb * lb,
-            cfg.max_read_len)
-        for bucket in np.unique(buckets):
-            sel = buckets == bucket
-            r1, s1 = c1[sel, :bucket], np.minimum(l1[sel], bucket)
-            r2, s2 = c2[sel, :bucket], np.minimum(l2[sel], bucket)
-            st = pending.get(bucket)
-            if st is None:
-                st = [np.full((B, bucket), INVALID, np.uint8),
-                      np.zeros(B, np.int32),
-                      np.full((B, bucket), INVALID, np.uint8),
-                      np.zeros(B, np.int32), 0]
-                pending[bucket] = st
-            i = 0
-            while i < r1.shape[0]:
-                take = min(B - st[4], r1.shape[0] - i)
-                f = st[4]
-                st[0][f : f + take] = r1[i : i + take]
-                st[1][f : f + take] = s1[i : i + take]
-                st[2][f : f + take] = r2[i : i + take]
-                st[3][f : f + take] = s2[i : i + take]
-                st[4] += take
-                i += take
-                if st[4] == B:
-                    yield ReadBatch(st[0], st[1], np.ones(B, np.int32),
-                                    codes2=st[2], lengths2=st[3])
-                    pending[bucket] = st = [
-                        np.full((B, bucket), INVALID, np.uint8),
-                        np.zeros(B, np.int32),
-                        np.full((B, bucket), INVALID, np.uint8),
-                        np.zeros(B, np.int32), 0]
-    for bucket, st in pending.items():
-        if st[4]:
-            w = np.zeros(B, np.int32)
-            w[: st[4]] = 1
-            yield ReadBatch(st[0], st[1], w, codes2=st[2], lengths2=st[3])
+    yield from _bucketer_batches(chunk_iter, cfg, paired=True)
 
 
 # ---- checkpointable (offset-cursor) batching -------------------------------
@@ -570,6 +559,11 @@ class CheckpointableBatchSource:
         self._restore_state: Optional[dict] = None
 
     def restore(self, state: dict) -> None:
+        if state.get("v") == "pack1":
+            raise ValueError(
+                "checkpoint was taken on a --pack-cache run (its cursor "
+                "indexes cached batches, not file offsets); resume with "
+                "--pack-cache, or delete the checkpoint to start fresh")
         if state.get("paired", False) != (self.mates is not None):
             raise ValueError("checkpoint cursor pairing does not match "
                              "the current input files")
@@ -595,6 +589,91 @@ class CheckpointableBatchSource:
         }
 
     def __iter__(self) -> Iterator[ReadBatch]:
+        from ..native.packer import get_lib
+
+        if get_lib() is not None:
+            yield from self._iter_native()
+        else:
+            yield from self._iter_py()
+
+    def _open_streams(self):
+        cfg = self.cfg
+        st0 = self._restore_state or {}
+        f1, o1 = st0.get("s1") or (0, 0)
+        s1 = _OffsetStream(self.paths, cfg.max_read_len, f1, o1)
+        s2 = None
+        if self.mates is not None:
+            f2, o2 = st0.get("s2") or (0, 0)
+            s2 = _OffsetStream(self.mates, cfg.max_read_len, f2, o2)
+        return st0, s1, s2
+
+    def _snapshot_native(self, s1, s2, bk) -> dict:
+        return {
+            "v": 1,
+            "paired": self.mates is not None,
+            "s1": s1.cursor(),
+            "s2": s2.cursor() if s2 is not None else None,
+            "pending": bk.pending_state(),
+        }
+
+    def _iter_native(self) -> Iterator[ReadBatch]:
+        """C decode + C bucket placement with the same cursor contract as
+        the Python path: every ctypes call releases the GIL, so the
+        checkpointable (serial) production path runs at the decoder's
+        rate instead of the numpy bucket-copy's (docs/PERFORMANCE.md
+        "Host ingest")."""
+        from ..native.packer import Bucketer
+
+        cfg = self.cfg
+        B = cfg.batch_size
+        st0, s1, s2 = self._open_streams()
+        paired = s2 is not None
+        bk = Bucketer(B, cfg.max_read_len, cfg.length_bucket, paired)
+        try:
+            if st0.get("pending"):
+                bk.restore_pending(
+                    {int(k): v for k, v in st0["pending"].items()})
+            while True:
+                ch1 = s1.read_n(self.CHUNK)
+                if ch1 is None:
+                    if s2 is not None and s2.read_n(1) is not None:
+                        raise ValueError(
+                            "paired FASTQ files have unequal read counts")
+                    break
+                c1, l1 = ch1
+                c2 = l2 = None
+                if paired:
+                    ch2 = s2.read_n(c1.shape[0])
+                    if ch2 is None or ch2[0].shape[0] != c1.shape[0]:
+                        raise ValueError(
+                            "paired FASTQ files have unequal read counts")
+                    c2, l2 = ch2
+                bk.feed(c1, l1, c2, l2)
+                out = [
+                    ReadBatch(a, b, np.ones(B, np.int32),
+                              codes2=cc, lengths2=dd)
+                    for a, b, cc, dd, _ in bk.pop_ready()
+                ]
+                for batch in out[:-1]:
+                    yield batch
+                if out:
+                    out[-1].cursor = self._snapshot_native(s1, s2, bk)
+                    yield out[-1]
+            # flush partial buckets; as in the Python path, each flushed
+            # batch's cursor excludes buckets already flushed
+            for a, b, cc, dd, fill in bk.flush():
+                w = np.zeros(B, np.int32)
+                w[:fill] = 1
+                batch = ReadBatch(a, b, w, codes2=cc, lengths2=dd)
+                batch.cursor = self._snapshot_native(s1, s2, bk)
+                yield batch
+        finally:
+            bk.close()
+            s1.close()
+            if s2 is not None:
+                s2.close()
+
+    def _iter_py(self) -> Iterator[ReadBatch]:
         cfg = self.cfg
         B, lb = cfg.batch_size, cfg.length_bucket
         st0 = self._restore_state or {}

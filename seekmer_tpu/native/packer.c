@@ -75,7 +75,7 @@ long seekmer_pack_fastq(const uint8_t *buf, long len, uint8_t *codes,
     long L = slen < max_len ? slen : max_len;
     uint8_t *row = codes + n * max_len;
     for (long j = 0; j < L; j++) row[j] = LUT[buf[s + j]];
-    for (long j = L; j < max_len; j++) row[j] = 4;
+    memset(row + L, 4, max_len - L);
     lengths[n] = (int32_t)L;
     n++;
     *consumed = i;
@@ -184,4 +184,216 @@ void seekmer_close(void *h) {
   if (r->gz) gzclose(r->gz);
   free(r->buf);
   free(r);
+}
+
+/* ---- bucketer: decoded chunks -> fixed-shape per-bucket batches -------- */
+/* The consumer-side bucket placement (group rows by padded length bucket,
+ * copy into fixed (B, W) batch buffers) was the measured ceiling of the
+ * full ingest pipeline: the numpy version ran on ONE GIL-holding thread at
+ * ~1.3M reads/s while the threaded C decode fed 1.7-3.5M
+ * (docs/PERFORMANCE.md "Host ingest"). This moves the copy into C so every
+ * ctypes call in the ingest loop releases the GIL.
+ *
+ * Rows fed here are decoder output: uint8[n, max_len], INVALID(4)-padded.
+ * A row of effective length e (paired: max of the mates) lands in bucket
+ * index ceil(e/lb)-1 whose width is min((idx+1)*lb, max_len) — identical
+ * to io/fastq._bucket_of. Full batches move (not copy) onto a ready
+ * queue; seekmer_bucketer_pop copies one batch into caller numpy buffers
+ * (B*W bytes, ~1 ms — noise against the decode). Pending partial buckets
+ * are exportable (seekmer_bucketer_pending) so checkpoint snapshots keep
+ * their exact resume semantics. */
+
+typedef struct bkt_ready {
+  long w, fill;
+  uint8_t *c1; int32_t *l1;
+  uint8_t *c2; int32_t *l2;
+  struct bkt_ready *next;
+} bkt_ready;
+
+typedef struct {
+  long B, max_len, lb, nb;
+  int paired;
+  uint8_t **c1; int32_t **l1;   /* per-bucket pending, row width = bucket */
+  uint8_t **c2; int32_t **l2;
+  long *fill;
+  bkt_ready *head, *tail;
+} seekmer_bucketer;
+
+static long bkt_width(const seekmer_bucketer *b, long idx) {
+  long w = (idx + 1) * b->lb;
+  return w < b->max_len ? w : b->max_len;
+}
+
+void *seekmer_bucketer_new(long batch_size, long max_len, long length_bucket,
+                           int paired) {
+  seekmer_bucketer *b =
+      (seekmer_bucketer *)calloc(1, sizeof(seekmer_bucketer));
+  if (!b) return NULL;
+  b->B = batch_size;
+  b->max_len = max_len;
+  b->lb = length_bucket;
+  b->nb = (max_len + length_bucket - 1) / length_bucket;
+  b->paired = paired;
+  b->c1 = (uint8_t **)calloc(b->nb, sizeof(uint8_t *));
+  b->l1 = (int32_t **)calloc(b->nb, sizeof(int32_t *));
+  b->c2 = (uint8_t **)calloc(b->nb, sizeof(uint8_t *));
+  b->l2 = (int32_t **)calloc(b->nb, sizeof(int32_t *));
+  b->fill = (long *)calloc(b->nb, sizeof(long));
+  if (!b->c1 || !b->l1 || !b->c2 || !b->l2 || !b->fill) return NULL;
+  return b;
+}
+
+static int bkt_alloc_pending(seekmer_bucketer *b, long idx) {
+  long w = bkt_width(b, idx);
+  b->c1[idx] = (uint8_t *)malloc(b->B * w);
+  b->l1[idx] = (int32_t *)calloc(b->B, sizeof(int32_t));
+  if (!b->c1[idx] || !b->l1[idx]) return -1;
+  if (b->paired) {
+    b->c2[idx] = (uint8_t *)malloc(b->B * w);
+    b->l2[idx] = (int32_t *)calloc(b->B, sizeof(int32_t));
+    if (!b->c2[idx] || !b->l2[idx]) return -1;
+  }
+  return 0;
+}
+
+/* Move bucket idx's full pending buffers onto the ready queue. */
+static int bkt_promote(seekmer_bucketer *b, long idx) {
+  bkt_ready *r = (bkt_ready *)calloc(1, sizeof(bkt_ready));
+  if (!r) return -1;
+  r->w = bkt_width(b, idx);
+  r->fill = b->fill[idx];
+  r->c1 = b->c1[idx]; r->l1 = b->l1[idx];
+  r->c2 = b->c2[idx]; r->l2 = b->l2[idx];
+  b->c1[idx] = NULL; b->l1[idx] = NULL;
+  b->c2[idx] = NULL; b->l2[idx] = NULL;
+  b->fill[idx] = 0;
+  if (b->tail) b->tail->next = r; else b->head = r;
+  b->tail = r;
+  return 0;
+}
+
+/* Feed n decoded rows (width max_len). Returns batches now ready, -2 OOM. */
+long seekmer_bucketer_feed(void *h, const uint8_t *c1, const int32_t *l1,
+                           const uint8_t *c2, const int32_t *l2, long n) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  for (long i = 0; i < n; i++) {
+    long e = l1[i];
+    if (b->paired && l2[i] > e) e = l2[i];
+    if (e < 1) e = 1;
+    if (e > b->max_len) e = b->max_len;
+    long idx = (e + b->lb - 1) / b->lb - 1;
+    long w = bkt_width(b, idx);
+    if (!b->c1[idx] && bkt_alloc_pending(b, idx) != 0) return -2;
+    long f = b->fill[idx];
+    memcpy(b->c1[idx] + f * w, c1 + i * b->max_len, w);
+    b->l1[idx][f] = l1[i] < w ? l1[i] : (int32_t)w;
+    if (b->paired) {
+      memcpy(b->c2[idx] + f * w, c2 + i * b->max_len, w);
+      b->l2[idx][f] = l2[i] < w ? l2[i] : (int32_t)w;
+    }
+    if (++b->fill[idx] == b->B && bkt_promote(b, idx) != 0) return -2;
+  }
+  long ready = 0;
+  for (bkt_ready *r = b->head; r; r = r->next) ready++;
+  return ready;
+}
+
+/* Width of the oldest ready batch, 0 if none. */
+long seekmer_bucketer_ready_width(void *h) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  return b->head ? b->head->w : 0;
+}
+
+/* Pop the oldest ready batch into caller buffers sized (B, W)/(B,).
+ * Returns its real-row count (== B for feed-promoted batches). */
+long seekmer_bucketer_pop(void *h, uint8_t *c1, int32_t *l1, uint8_t *c2,
+                          int32_t *l2) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  bkt_ready *r = b->head;
+  if (!r) return 0;
+  b->head = r->next;
+  if (!b->head) b->tail = NULL;
+  memcpy(c1, r->c1, b->B * r->w);
+  memcpy(l1, r->l1, b->B * sizeof(int32_t));
+  if (b->paired) {
+    memcpy(c2, r->c2, b->B * r->w);
+    memcpy(l2, r->l2, b->B * sizeof(int32_t));
+  }
+  long fill = r->fill;
+  free(r->c1); free(r->l1); free(r->c2); free(r->l2); free(r);
+  return fill;
+}
+
+/* Promote the lowest-index pending partial bucket to the ready queue
+ * (EOF flush). Returns its fill count, 0 when nothing is pending. */
+long seekmer_bucketer_flush_one(void *h) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  for (long idx = 0; idx < b->nb; idx++)
+    if (b->fill[idx] > 0) {
+      long fill = b->fill[idx];
+      /* zero the unused tail rows so pad rows are deterministic */
+      long w = bkt_width(b, idx);
+      memset(b->c1[idx] + fill * w, 4, (b->B - fill) * w);
+      if (b->paired) memset(b->c2[idx] + fill * w, 4, (b->B - fill) * w);
+      if (bkt_promote(b, idx) != 0) return -2;
+      return fill;
+    }
+  return 0;
+}
+
+/* Copy bucket idx's pending rows out WITHOUT consuming them (checkpoint
+ * snapshot). Caller buffers sized (fill, W); returns fill (0 = none). */
+long seekmer_bucketer_pending(void *h, long idx, uint8_t *c1, int32_t *l1,
+                              uint8_t *c2, int32_t *l2) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  if (idx < 0 || idx >= b->nb || b->fill[idx] == 0) return 0;
+  long w = bkt_width(b, idx), f = b->fill[idx];
+  if (c1) {
+    memcpy(c1, b->c1[idx], f * w);
+    memcpy(l1, b->l1[idx], f * sizeof(int32_t));
+    if (b->paired) {
+      memcpy(c2, b->c2[idx], f * w);
+      memcpy(l2, b->l2[idx], f * sizeof(int32_t));
+    }
+  }
+  return f;
+}
+
+long seekmer_bucketer_nb(void *h) {
+  return ((seekmer_bucketer *)h)->nb;
+}
+
+void seekmer_bucketer_free(void *h) {
+  seekmer_bucketer *b = (seekmer_bucketer *)h;
+  if (!b) return;
+  for (long i = 0; i < b->nb; i++) {
+    free(b->c1[i]); free(b->l1[i]); free(b->c2[i]); free(b->l2[i]);
+  }
+  free(b->c1); free(b->l1); free(b->c2); free(b->l2); free(b->fill);
+  for (bkt_ready *r = b->head; r;) {
+    bkt_ready *n = r->next;
+    free(r->c1); free(r->l1); free(r->c2); free(r->l2); free(r);
+    r = n;
+  }
+  free(b);
+}
+
+/* ---- 2-bit H2D pack (encoding.pack_codes_2bit, C form) ----------------- */
+/* Base j of row b -> bits 2*(j%4) of out[b, j//4]; bit j%8 of bad[b, j//8]
+ * marks an invalid base (code > 3). Exact match of the numpy layout so the
+ * device unpack (ops/kmer_pack.unpack_codes_2bit) is shared. Used by the
+ * pack cache writer and available to the prefetch producer. */
+void seekmer_pack2bit(const uint8_t *codes, long n, long L, uint8_t *out,
+                      uint8_t *bad) {
+  long L4 = (L + 3) / 4, L8 = (L + 7) / 8;
+  for (long i = 0; i < n; i++) {
+    const uint8_t *row = codes + i * L;
+    uint8_t *po = out + i * L4, *pb = bad + i * L8;
+    memset(po, 0, L4);
+    memset(pb, 0, L8);
+    for (long j = 0; j < L; j++) {
+      po[j >> 2] |= (uint8_t)((row[j] & 3) << ((j & 3) << 1));
+      if (row[j] > 3) pb[j >> 3] |= (uint8_t)(1 << (j & 7));
+    }
+  }
 }

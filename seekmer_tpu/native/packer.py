@@ -74,6 +74,30 @@ def get_lib():
     lib.seekmer_tell.argtypes = [ctypes.c_void_p]
     lib.seekmer_open_at.restype = ctypes.c_void_p
     lib.seekmer_open_at.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.seekmer_bucketer_new.restype = ctypes.c_void_p
+    lib.seekmer_bucketer_new.argtypes = [
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int]
+    lib.seekmer_bucketer_free.restype = None
+    lib.seekmer_bucketer_free.argtypes = [ctypes.c_void_p]
+    lib.seekmer_bucketer_feed.restype = ctypes.c_long
+    lib.seekmer_bucketer_feed.argtypes = [
+        ctypes.c_void_p, u8p, i32p, u8p, i32p, ctypes.c_long]
+    lib.seekmer_bucketer_ready_width.restype = ctypes.c_long
+    lib.seekmer_bucketer_ready_width.argtypes = [ctypes.c_void_p]
+    lib.seekmer_bucketer_pop.restype = ctypes.c_long
+    lib.seekmer_bucketer_pop.argtypes = [ctypes.c_void_p, u8p, i32p, u8p, i32p]
+    lib.seekmer_bucketer_flush_one.restype = ctypes.c_long
+    lib.seekmer_bucketer_flush_one.argtypes = [ctypes.c_void_p]
+    lib.seekmer_bucketer_pending.restype = ctypes.c_long
+    lib.seekmer_bucketer_pending.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, u8p, i32p, u8p, i32p]
+    lib.seekmer_bucketer_nb.restype = ctypes.c_long
+    lib.seekmer_bucketer_nb.argtypes = [ctypes.c_void_p]
+    lib.seekmer_pack2bit.restype = None
+    lib.seekmer_pack2bit.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_long, u8p, u8p]
     _lib = lib
     return _lib
 
@@ -122,6 +146,156 @@ def stream_packed(path: str, max_len: int, chunk_reads: int = 16384
             if chunk is None:
                 return
             yield chunk
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pack_codes_2bit_native(codes: np.ndarray):
+    """C form of encoding.pack_codes_2bit (identical layout); returns
+    (packed uint8[n, (L+3)//4], bad uint8[n, (L+7)//8]) or None when the
+    library is unavailable. One GIL-released call per batch."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, L = codes.shape
+    out = np.empty((n, (L + 3) // 4), np.uint8)
+    bad = np.empty((n, (L + 7) // 8), np.uint8)
+    lib.seekmer_pack2bit(_u8p(codes), n, L, _u8p(out), _u8p(bad))
+    return out, bad
+
+
+class Bucketer:
+    """C-side bucket placement: feed decoded (codes, lengths) chunks, pop
+    fixed-shape (B, W) batches as buckets fill — the consumer half of the
+    ingest pipeline, GIL-released end-to-end (the numpy bucket-copy was the
+    measured ~1.3M reads/s pipeline ceiling; docs/PERFORMANCE.md "Host
+    ingest"). Matches io/fastq._BucketAccumulator semantics exactly,
+    including checkpoint pending-buffer export (``pending_state``)."""
+
+    def __init__(self, batch_size: int, max_len: int, length_bucket: int,
+                 paired: bool):
+        self._lib = _require_lib()
+        self.B = batch_size
+        self.max_len = max_len
+        self.lb = length_bucket
+        self.paired = paired
+        self._h = self._lib.seekmer_bucketer_new(
+            batch_size, max_len, length_bucket, 1 if paired else 0)
+        if not self._h:
+            raise MemoryError("bucketer allocation failed")
+
+    def feed(self, c1, l1, c2=None, l2=None) -> int:
+        """Add decoded rows (width max_len); returns ready batch count."""
+        c1 = np.ascontiguousarray(c1, np.uint8)
+        l1 = np.ascontiguousarray(l1, np.int32)
+        if self.paired:
+            c2 = np.ascontiguousarray(c2, np.uint8)
+            l2 = np.ascontiguousarray(l2, np.int32)
+        n = self._lib.seekmer_bucketer_feed(
+            self._h, _u8p(c1), _i32p(l1),
+            _u8p(c2) if self.paired else None,
+            _i32p(l2) if self.paired else None, c1.shape[0])
+        if n < 0:
+            raise MemoryError("bucketer feed failed")
+        return n
+
+    def _pop_one(self):
+        w = self._lib.seekmer_bucketer_ready_width(self._h)
+        if w == 0:
+            return None
+        c1 = np.empty((self.B, w), np.uint8)
+        l1 = np.empty(self.B, np.int32)
+        c2 = np.empty((self.B, w), np.uint8) if self.paired else None
+        l2 = np.empty(self.B, np.int32) if self.paired else None
+        fill = self._lib.seekmer_bucketer_pop(
+            self._h, _u8p(c1), _i32p(l1),
+            _u8p(c2) if self.paired else None,
+            _i32p(l2) if self.paired else None)
+        return c1, l1, c2, l2, int(fill)
+
+    def pop_ready(self):
+        """Yield (c1, l1, c2, l2, n_real) for every ready batch."""
+        while True:
+            item = self._pop_one()
+            if item is None:
+                return
+            yield item
+
+    def flush(self):
+        """Promote and yield every pending partial bucket (ascending W)."""
+        while True:
+            fill = self._lib.seekmer_bucketer_flush_one(self._h)
+            if fill < 0:
+                raise MemoryError("bucketer flush failed")
+            if fill == 0:
+                return
+            item = self._pop_one()
+            assert item is not None and item[4] == fill
+            yield item
+
+    def pending_state(self) -> dict:
+        """Checkpoint snapshot: {bucket_width: {"c1", "l1"[, "c2", "l2"]}}
+        of pending (not yet full) rows — same shape contract as
+        io/fastq.CheckpointableBatchSource._snapshot."""
+        out = {}
+        nb = self._lib.seekmer_bucketer_nb(self._h)
+        for idx in range(nb):
+            fill = self._lib.seekmer_bucketer_pending(
+                self._h, idx, None, None, None, None)
+            if fill == 0:
+                continue
+            w = min((idx + 1) * self.lb, self.max_len)
+            c1 = np.empty((fill, w), np.uint8)
+            l1 = np.empty(fill, np.int32)
+            c2 = np.empty((fill, w), np.uint8) if self.paired else None
+            l2 = np.empty(fill, np.int32) if self.paired else None
+            self._lib.seekmer_bucketer_pending(
+                self._h, idx, _u8p(c1), _i32p(l1),
+                _u8p(c2) if self.paired else None,
+                _i32p(l2) if self.paired else None)
+            d = {"c1": c1, "l1": l1}
+            if self.paired:
+                d["c2"] = c2
+                d["l2"] = l2
+            out[int(w)] = d
+        return out
+
+    def restore_pending(self, pending: dict) -> None:
+        """Re-feed snapshot rows (bucketing is deterministic by length, so
+        each row lands back in its original bucket in order)."""
+        for _, d in sorted(pending.items()):
+            c1 = np.asarray(d["c1"], np.uint8)
+            fill, w = c1.shape
+            wide1 = np.full((fill, self.max_len), 4, np.uint8)
+            wide1[:, :w] = c1
+            wide2 = None
+            if self.paired:
+                c2 = np.asarray(d["c2"], np.uint8)
+                wide2 = np.full((fill, self.max_len), 4, np.uint8)
+                wide2[:, :w] = c2
+            if self.feed(wide1, np.asarray(d["l1"], np.int32), wide2,
+                         None if not self.paired
+                         else np.asarray(d["l2"], np.int32)):
+                raise ValueError("restored pending rows filled a batch — "
+                                 "snapshot cannot contain full buckets")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.seekmer_bucketer_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class PackedFileStream:

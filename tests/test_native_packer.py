@@ -288,6 +288,73 @@ def test_empty_fastq(tmp_path):
             [p], cfg=MapConfig(batch_size=8)))) == []
 
 
+def test_checkpoint_source_native_equals_python(tmp_path, reads):
+    """The C-bucketer CheckpointableBatchSource path must yield the same
+    real rows per bucket as the pure-Python path (round-5: the consumer
+    bucket-copy moved into GIL-released C; docs/PERFORMANCE.md 'Host
+    ingest')."""
+    from seekmer_tpu.io.fastq import CheckpointableBatchSource
+
+    rng = np.random.default_rng(11)
+    mixed = [r[: int(rng.integers(20, len(r) + 1))] for r in reads]
+    mates = [r[::-1] for r in mixed]
+    p1 = _mk_fastq(tmp_path, mixed, name="cs1.fq")
+    p2 = _mk_fastq(tmp_path, mates, gz=True, name="cs2.fq")
+    cfg = MapConfig(batch_size=64)
+
+    for mate_paths in (None, [p2]):
+        src = CheckpointableBatchSource([p1], mate_paths, cfg)
+        src.CHUNK = 37
+        native = list(src._iter_native())
+        src2 = CheckpointableBatchSource([p1], mate_paths, cfg)
+        src2.CHUNK = 37
+        python = list(src2._iter_py())
+        paired = mate_paths is not None
+        assert _flatten_rows(native, paired) == _flatten_rows(python, paired)
+        # identical cursor-bearing snapshots at the end of each chunk
+        n_cur = [b.cursor for b in native if b.cursor is not None]
+        p_cur = [b.cursor for b in python if b.cursor is not None]
+        assert len(n_cur) == len(p_cur) > 0
+        assert n_cur[-1]["s1"] == p_cur[-1]["s1"]
+
+
+def test_bucketer_pending_roundtrip(reads):
+    """Bucketer pending export -> restore reproduces the same batches as
+    an uninterrupted run."""
+    from seekmer_tpu.native.packer import Bucketer
+
+    rng = np.random.default_rng(5)
+    L = 128
+    n = 150
+    codes = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    lengths = rng.integers(10, L + 1, size=n).astype(np.int32)
+    for i in range(n):
+        codes[i, lengths[i]:] = 4
+
+    def run(split):
+        bk = Bucketer(32, L, 32, paired=False)
+        out = []
+        bk.feed(codes[:split], lengths[:split])
+        out.extend(bk.pop_ready())
+        state = bk.pending_state()
+        bk2 = Bucketer(32, L, 32, paired=False)
+        bk2.restore_pending(state)
+        bk.close()
+        bk2.feed(codes[split:], lengths[split:])
+        out.extend(bk2.pop_ready())
+        out.extend(bk2.flush())
+        bk2.close()
+        rows = []
+        for c1, l1, _, _, fill in out:
+            for i in range(fill):
+                rows.append(tuple(c1[i, : l1[i]].tolist()))
+        return sorted(rows)
+
+    base = run(0)
+    assert run(77) == base
+    assert len(base) == n
+
+
 def test_cpu_baseline_matches_oracle():
     """The compiled single-core baseline (bench.py's vs_baseline stand-in
     for the reference's Cython mapper core) must agree with the oracle on
