@@ -94,6 +94,13 @@ def _add_infer(sub):
     p.add_argument("--distributed", action="store_true",
                    help="initialize the multi-host process group "
                         "(jax.distributed; set JAX_COORDINATOR_ADDRESS etc.)")
+    p.add_argument("--pack-cache", nargs="?", const="auto", default=None,
+                   metavar="DIR",
+                   help="pre-packed 2-bit shard cache: first run writes "
+                        "packed bucketed batches next to the FASTQ "
+                        "(default DIR: <first fastq>.smpack), re-runs "
+                        "mmap them and skip decode/parse/pack entirely "
+                        "(single-chip mapper only)")
     return p
 
 
@@ -204,7 +211,8 @@ def cmd_infer(args) -> int:
     with maybe_trace(args.trace_dir, "infer"):
         result = q.quantify_files(args.fastq, mate_paths=args.mates or None,
                                   checkpoint_path=args.checkpoint,
-                                  checkpoint_every=args.checkpoint_every)
+                                  checkpoint_every=args.checkpoint_every,
+                                  pack_cache=args.pack_cache)
 
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "abundance.tsv")

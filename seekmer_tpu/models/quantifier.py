@@ -62,9 +62,14 @@ class Quantifier:
         mate_paths: Optional[List[str]] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 50,
+        pack_cache: Optional[str] = None,
     ) -> QuantResult:
         mapper = self._make_mapper()
         map_cfg = self.cfg.map
+        if pack_cache is not None:
+            return self._quantify_pack_cache(
+                fastq_paths, mate_paths, checkpoint_path, checkpoint_every,
+                pack_cache, mapper)
         if checkpoint_path and getattr(mapper, "supports_checkpoint",
                                        lambda: False)():
             # offset-cursor batching: resume seeks the input files instead
@@ -140,6 +145,67 @@ class Quantifier:
                 from ..io.fastq import batch_reads_native
 
                 batches = batch_reads_native(fastq_paths, map_cfg)
+        return self.quantify_batches(batches, mapper=mapper,
+                                     checkpoint_path=checkpoint_path,
+                                     checkpoint_every=checkpoint_every)
+
+    def _quantify_pack_cache(self, fastq_paths, mate_paths, checkpoint_path,
+                             checkpoint_every, pack_cache, mapper
+                             ) -> QuantResult:
+        """--pack-cache run (SURVEY.md 7.5 item 4's pre-packed shard
+        cache): a complete cache is mmap'd and fed directly (no decode/
+        parse/pack); otherwise this run builds it by teeing the normal
+        ingest stream. Cached batches carry resume cursors, so
+        --checkpoint works on cached runs; during a build it is disabled
+        (build batches have no cursor to resume from)."""
+        from ..io.pack_cache import (PackCacheSource, cache_valid,
+                                     default_cache_dir, write_through)
+
+        map_cfg = self.cfg.map
+        if type(mapper) is not Mapper:
+            raise ValueError(
+                "--pack-cache requires the single-chip mapper (no "
+                "--data-shards/--index-shards): cached batches are "
+                "pre-packed for the single-table H2D path")
+        if not map_cfg.h2d_pack_2bit:
+            raise ValueError("--pack-cache stores 2-bit-packed batches; "
+                             "it cannot be combined with --no-h2d-pack")
+        cache_dir = (default_cache_dir(fastq_paths) if pack_cache == "auto"
+                     else pack_cache)
+        if cache_valid(cache_dir, map_cfg, fastq_paths, mate_paths):
+            log.info("pack cache hit: %s (skipping decode/parse/pack)",
+                     cache_dir)
+            source = PackCacheSource(cache_dir, map_cfg)
+            if checkpoint_path:
+                state = mapper.restore_checkpoint(checkpoint_path)
+                if state:
+                    source.restore(state)
+                    log.info("resuming from checkpoint: %d reads already "
+                             "mapped", mapper.total_reads)
+                elif state is not None:
+                    log.warning("checkpoint %s has no stream cursor; "
+                                "starting fresh", checkpoint_path)
+                    mapper = self._make_mapper()
+            batches = iter(source)
+        else:
+            if checkpoint_path:
+                log.warning(
+                    "pack cache at %s is absent or stale: building it this "
+                    "run; --checkpoint is disabled during the build "
+                    "(re-runs over the completed cache support it)",
+                    cache_dir)
+                checkpoint_path = None
+            if mate_paths:
+                from ..io.fastq import batch_read_pairs_native
+
+                raw = batch_read_pairs_native(fastq_paths, mate_paths,
+                                              map_cfg)
+            else:
+                from ..io.fastq import batch_reads_native
+
+                raw = batch_reads_native(fastq_paths, map_cfg)
+            batches = write_through(raw, cache_dir, map_cfg, fastq_paths,
+                                    mate_paths)
         return self.quantify_batches(batches, mapper=mapper,
                                      checkpoint_path=checkpoint_path,
                                      checkpoint_every=checkpoint_every)
