@@ -74,6 +74,10 @@ def _add_infer(sub):
                         "resolve early, ambiguous reads re-probe densely "
                         "(opt-in approximation — see MapConfig."
                         "probe_sample; 0 = exact dense)")
+    p.add_argument("--sample-fallback", type=float, default=0.0,
+                   help="fast-mode phase-2 cap fraction (MapConfig."
+                        "sample_fallback_frac; 0 = auto-size from the "
+                        "first batch's observed fallback fraction)")
     p.add_argument("--io-workers", type=int, default=0,
                    help="concurrent FASTQ decode threads (0 = auto, "
                         "1 = serial; forced serial with --checkpoint)")
@@ -177,6 +181,7 @@ def cmd_infer(args) -> int:
             paired_end=bool(args.mates),
             probe_stride=args.probe_stride,
             probe_sample=args.probe_sample,
+            sample_fallback_frac=args.sample_fallback,
             probe_chunks=args.probe_chunks,
             io_workers=args.io_workers,
             pack_backend=args.pack_backend,

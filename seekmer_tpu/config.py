@@ -95,6 +95,10 @@ class MapConfig:
             raise ValueError(
                 "probe_sample is not supported in fusion mode (fusion "
                 "needs full per-mate signatures; run dense)")
+        if not (self.sample_fallback_frac == 0
+                or 0 < self.sample_fallback_frac <= 1):
+            raise ValueError(
+                "sample_fallback_frac must be 0 (auto) or in (0, 1]")
 
     # Paired-end: a mate with zero k-mer hits contributes nothing (wildcard);
     # both mates empty => unmapped. Matches intersect-mates semantics
@@ -127,12 +131,21 @@ class MapConfig:
     probe_sample: int = 0
     # Fast-mode phase-2 cap as a fraction of the batch: each dense
     # fallback round re-probes at most this many reads; residual reads
-    # drain through further while_loop rounds (exact coverage, but an
-    # extra ROUND measured +9 ms — size the cap above the workload's
-    # fallback fraction: ~0.1 suffices for config-1-like worlds, ~0.5
-    # for isoform/GENCODE paired ones where half the pairs carry a
-    # multi-EC mate).
-    sample_fallback_frac: float = 0.125
+    # drain through further while_loop rounds (exact coverage — the cap
+    # only schedules). The cost landscape is non-monotonic (measured at
+    # GENCODE paired, observed fallback 0.315: cap 0.125 -> 73 ms/batch
+    # over 3 rounds, 0.25 -> 89, **0.35 -> 56**, 0.5 -> 84): the
+    # minimum is the SMALLEST cap that fits the workload's fallback
+    # fraction in ONE round — an undersized cap pays extra rounds, an
+    # oversized one wastes its filler lanes' gathers.
+    # 0 = AUTO (default): the single-chip mapper measures the first fast
+    # batch's fallback fraction with a one-off classify-stage program
+    # and picks the just-fitting cap from a fixed grid (map/driver.py
+    # _pick_fallback_frac; one extra compile + one sync, then steady).
+    # Explicit values are respected everywhere; the sharded mappers
+    # resolve AUTO to 0.125 (calibration needs a host readback that
+    # their shard_map steps do not do).
+    sample_fallback_frac: float = 0.0
     # Process the probe's lanes in this many sequential chunks to bound the
     # gathered-bucket-rows transient (4*bucket_size int32 per lane: GBs at
     # GENCODE batch sizes). 0 = auto (chunks sized so the transient stays

@@ -135,6 +135,26 @@ def audit_this_batch(cfg: MapConfig, fed_batches: int) -> bool:
     return fed_batches % max(cfg.collision_audit_every, 1) == 0
 
 
+# Fast-mode fallback-cap grid for auto-sizing (sample_fallback_frac = 0).
+# The measured cost landscape (benchmarks/micro_fast.py --frac-sweep,
+# GENCODE paired, observed fallback 0.315, one process, 2026-08-21):
+# cap 0.125 -> 73 ms (3 rounds), 0.25 -> 89, 0.35 -> 56, 0.5 -> 84 — the
+# minimum is the smallest cap covering the workload in ONE round, so the
+# grid is fine where the landscape is steep. Margin 1.1 over the
+# observed fraction absorbs batch-to-batch drift; the residual
+# while_loop keeps coverage exact if a batch still overflows.
+FALLBACK_FRAC_GRID = (1 / 32, 1 / 16, 3 / 32, 1 / 8, 3 / 16, 1 / 4,
+                      0.3, 0.35, 0.4, 0.45, 0.5, 0.6, 0.75, 1.0)
+
+
+def _pick_fallback_frac(observed: float, batch_size: int) -> float:
+    target = observed * 1.1 + 2.0 / max(batch_size, 1)
+    for g in FALLBACK_FRAC_GRID:
+        if g >= target:
+            return g
+    return 1.0
+
+
 def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
     """probe_chunks == 0 picks the chunk count that bounds the gathered
     bucket-rows transient (4*bucket int32 per lane) to ~4 GB — oversized
@@ -147,7 +167,8 @@ def _auto_probe_chunks(cfg: MapConfig, lanes: int, bucket: int) -> int:
 
 def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
              codes, lengths, weights, codes2=None, lengths2=None,
-             bad=None, bad2=None, pad_len=None, audit=None) -> SigTable:
+             bad=None, bad2=None, pad_len=None, audit=None,
+             fallback_frac=None, _probe_stage=None) -> SigTable:
     """One device mapping step (jit-traced per bucket shape).
 
     ``pad_len`` set (static) means ``codes``/``codes2`` arrive 2-bit
@@ -156,9 +177,20 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
 
     ``audit`` (static) overrides cfg.collision_audit for this step — the
     drivers sample the audit every cfg.collision_audit_every batches
-    (config.py: ~1.5 ms/batch recovered on unaudited batches)."""
+    (config.py: ~1.5 ms/batch recovered on unaudited batches).
+
+    ``fallback_frac`` (static) is the RESOLVED fast-mode phase-2 cap
+    fraction: the Mapper passes its auto-calibrated value here
+    (config.py sample_fallback_frac = 0); None falls back to the config
+    (or 0.125 when the config says auto and no calibration happened —
+    the sharded mappers' path). ``_probe_stage`` (static) truncates the
+    fast mode at a named stage and returns its raw output — the
+    calibration probe (observed fallback fraction) and
+    benchmarks/micro_fast.py's bisect ride this."""
     di = device_index
     stride = cfg.probe_stride
+    if fallback_frac is None:
+        fallback_frac = cfg.sample_fallback_frac or 0.125
     if audit is None:
         audit = cfg.collision_audit
     if pad_len is not None:
@@ -210,7 +242,7 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
         # bound the phase-2 fallback rounds' transient the same way:
         # capu units x one segment's window count lanes per round
         n_seg = len(segments)
-        capu = max(int(h.shape[0] * cfg.sample_fallback_frac) * n_seg, 128)
+        capu = max(int(h.shape[0] * fallback_frac) * n_seg, 128)
         win_max = max(int(c.shape[1]) for c, _ in segments) - di.k + 1
         fb_chunks = _auto_probe_chunks(cfg, capu * win_max, di.bucket)
         return two_phase_signatures(
@@ -218,8 +250,9 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             di.table, di.main_slots, di.stash, di.stash_slots,
             di.bucket, cfg.probe_sample, cfg.max_ecs_per_read, sig_fn,
             int(SIG_PAD), chunks=chunks, bucket_lookup=bucket_lookup,
-            fallback_frac=cfg.sample_fallback_frac, seg_widths=seg_widths,
-            fallback_chunks=fb_chunks)
+            fallback_frac=fallback_frac, seg_widths=seg_widths,
+            fallback_chunks=fb_chunks,
+            _stage=_probe_stage or "full")
 
     # the fast mode covers the dense single/paired signature paths; the
     # strided-exact and fusion modes keep their own machinery
@@ -243,12 +276,15 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
             # or single-EC -> pair signature = sorted distinct of the
             # mates' ECs, the paired union semantics); any multi-EC mate
             # falls back to a dense probe of the whole pair
-            sig, mapped = two_phase(
+            out = two_phase(
                 jnp.concatenate([hi, hi2], axis=1),
                 jnp.concatenate([lo, lo2], axis=1),
                 jnp.concatenate([valid, valid2], axis=1),
                 [(codes, lengths), (codes2, lengths2)],
                 seg_widths=[hi.shape[1], hi2.shape[1]])
+            if _probe_stage:
+                return out
+            sig, mapped = out
             return fold_batch(table, sig, mapped, weights=weights,
                               sig_probe=cfg.sig_probe, audit=audit)
         else:
@@ -273,7 +309,10 @@ def map_step(device_index: DeviceIndex, cfg: MapConfig, table: SigTable,
                               audit=audit)
         # paired-end: union of mates' EC hits [BASELINE.json:8 semantics]
     elif sample_mode:
-        sig, mapped = two_phase(hi, lo, valid, [(codes, lengths)])
+        out = two_phase(hi, lo, valid, [(codes, lengths)])
+        if _probe_stage:
+            return out
+        sig, mapped = out
         return fold_batch(table, sig, mapped, weights=weights,
                           sig_probe=cfg.sig_probe, audit=audit)
     else:
@@ -300,11 +339,14 @@ class Mapper:
             num_ecs=0 if cfg.fusion_pairs else index.num_ecs)
         self.total_reads = 0
         self._fed_batches = 0
-        self._steps: Dict[Tuple[int, bool, bool, bool], callable] = {}
+        self._steps: Dict[Tuple[int, bool, bool, bool, float], callable] = {}
+        # auto-calibrated fast-mode fallback cap (sample_fallback_frac=0):
+        # measured on the first fast batch, then fixed for the run
+        self._auto_frac: Optional[float] = None
 
     def _get_step(self, bucket: int, paired: bool, packed: bool = False,
-                  audit: bool = True):
-        key = (bucket, paired, packed, audit)
+                  audit: bool = True, fb_frac: Optional[float] = None):
+        key = (bucket, paired, packed, audit, fb_frac)
         if key not in self._steps:
             cfg = self.cfg
             pad_len = bucket if packed else None
@@ -315,7 +357,8 @@ class Mapper:
             # table even exceeds the remote compiler's request limit).
             def fn(di, table, *args, **kwargs):
                 return map_step(di, cfg, table, *args, pad_len=pad_len,
-                                audit=audit, **kwargs)
+                                audit=audit, fallback_frac=fb_frac,
+                                **kwargs)
 
             self._steps[key] = jax.jit(fn, donate_argnums=(1,))
         return self._steps[key]
@@ -323,12 +366,47 @@ class Mapper:
     def _audit_this_batch(self) -> bool:
         return audit_this_batch(self.cfg, self._fed_batches)
 
-    def feed(self, batch: ReadBatch) -> None:
-        paired = batch.codes2 is not None
-        packed = batch.pad_len is not None
-        step = self._get_step(batch.bucket, paired, packed,
-                              self._audit_this_batch())
-        self._fed_batches += 1
+    def _resolve_fallback_frac(self, batch: ReadBatch, paired: bool,
+                               packed: bool) -> Optional[float]:
+        """Fast-mode fallback cap for this run: the configured value, or
+        (sample_fallback_frac = 0) one just-fitting cap auto-sized from
+        THIS batch's observed fallback-unit fraction via a one-off
+        classify-stage program (one extra compile + one scalar readback;
+        config.py sample_fallback_frac has the measured cost landscape)."""
+        cfg = self.cfg
+        if not (cfg.probe_sample >= 2 and cfg.probe_stride <= 1
+                and not cfg.fusion_pairs):
+            return None
+        if cfg.sample_fallback_frac > 0:
+            return cfg.sample_fallback_frac
+        if self._auto_frac is not None:
+            return self._auto_frac
+        pad_len = batch.bucket if packed else None
+
+        cfg_ = self.cfg
+
+        def observe(di, table, *args, **kwargs):
+            _, unit_need = map_step(di, cfg_, table, *args,
+                                    pad_len=pad_len, audit=False,
+                                    fallback_frac=1.0,
+                                    _probe_stage="classify", **kwargs)
+            return unit_need.sum()
+
+        kwargs = self._batch_kwargs(batch, paired, packed)
+        need = jax.jit(observe)(
+            self.device_index, self.table, batch.codes, batch.lengths,
+            batch.weights, **kwargs)
+        n_seg = 2 if paired else 1
+        observed = float(need) / (max(batch.n_real, 1) * n_seg)
+        self._auto_frac = _pick_fallback_frac(observed, cfg.batch_size)
+        log.info(
+            "fast-mode fallback cap auto-sized: observed fallback-unit "
+            "fraction %.3f -> sample_fallback_frac %.4g",
+            observed, self._auto_frac)
+        return self._auto_frac
+
+    @staticmethod
+    def _batch_kwargs(batch: ReadBatch, paired: bool, packed: bool) -> dict:
         kwargs = {}
         if paired:
             kwargs = dict(codes2=batch.codes2, lengths2=batch.lengths2)
@@ -336,6 +414,16 @@ class Mapper:
             kwargs["bad"] = batch.bad
             if paired:
                 kwargs["bad2"] = batch.bad2
+        return kwargs
+
+    def feed(self, batch: ReadBatch) -> None:
+        paired = batch.codes2 is not None
+        packed = batch.pad_len is not None
+        fb_frac = self._resolve_fallback_frac(batch, paired, packed)
+        step = self._get_step(batch.bucket, paired, packed,
+                              self._audit_this_batch(), fb_frac)
+        self._fed_batches += 1
+        kwargs = self._batch_kwargs(batch, paired, packed)
         self.table = step(self.device_index, self.table, batch.codes,
                           batch.lengths, batch.weights, **kwargs)
         self.total_reads += batch.n_real

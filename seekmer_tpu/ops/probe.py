@@ -260,7 +260,7 @@ def two_phase_signatures(
     stash_slots: int, bucket: int, stride: int, max_ecs: int, sig_fn,
     sig_pad, chunks: int = 1, bucket_lookup=None,
     fallback_frac: float = 1.0 / 8, seg_widths=None,
-    fallback_chunks: int = 1,
+    fallback_chunks: int = 1, _stage: str = "full",
 ):
     """Two-phase early-exit probing — the opt-in fast mode
     (MapConfig.probe_sample; round-4 verdict item 1a). Attacks the one
@@ -339,6 +339,8 @@ def two_phase_signatures(
     ec_s = lookup_ecs(hi[:, cols_a], lo[:, cols_a], valid[:, cols_a],
                       table, main_slots, stash, stash_slots, bucket,
                       chunks=chunks, bucket_lookup=bucket_lookup)
+    if _stage == "phase1":  # bisect hook (benchmarks/micro_fast.py):
+        return ec_s, None   # sampled probe only
     hit = ec_s >= 0
 
     # per-segment classification: (zero-hit | single-EC) per segment,
@@ -378,9 +380,17 @@ def two_phase_signatures(
     # hits strictly between samples (round-4 advisor finding: skipping
     # them dropped those hits and contradicted the documented fallback
     # semantics); its single-EC segments keep their sampled EC (the
-    # documented subset approximation).
+    # documented subset approximation). Segments with NO valid window at
+    # all (pad rows, short/garbage mates) are excluded — their dense
+    # probe returns nothing by construction (exact), and without the
+    # exclusion every pad row burned fallback-cap units (round 5).
+    seg_has_valid, off_v = [], 0
+    for Pg in seg_widths:
+        seg_has_valid.append(valid[:, off_v:off_v + Pg].any(axis=1))
+        off_v += Pg
     unit_need = jnp.stack(
-        [(~resolved) & (~oks[g] | (mxs[g] < 0)) for g in range(n_seg)],
+        [(~resolved) & (~oks[g] | (mxs[g] < 0)) & seg_has_valid[g]
+         for g in range(n_seg)],
         axis=1)  # (B, n_seg)
     # a segment alone exceeding C distinct ECs makes the whole read
     # complex (union > C) even after merge truncation
@@ -395,6 +405,9 @@ def two_phase_signatures(
             c = jnp.pad(c, ((0, 0), (0, Lmax - int(c.shape[1]))),
                         constant_values=4)
         segs_p.append((c, ln))
+
+    if _stage == "classify":  # bisect hook: + classification/staging
+        return staging, unit_need
 
     U = B * n_seg
     # per-round unit cap: n_seg x the read-count cap keeps the per-round
@@ -442,9 +455,13 @@ def two_phase_signatures(
 
     staging, force_unmapped, residual = unit_round(
         (staging, force_unmapped, unit_need))
+    if _stage == "fallback1":  # bisect hook: + the first fallback round
+        return staging, force_unmapped
     staging, force_unmapped, _ = jax.lax.while_loop(
         lambda st: st[2].any(), unit_round,
         (staging, force_unmapped, residual))
+    if _stage == "fallback":  # bisect hook: + the residual while_loop
+        return staging, force_unmapped
 
     # uniform merge: sorted distinct of all segment contributions
     flat = jnp.sort(staging.reshape(B, n_seg * C), axis=1)

@@ -58,6 +58,12 @@ class DataParallelMapper:
             raise ValueError(
                 f"global batch {cfg.batch_size} not divisible by "
                 f"{self.n_shards} data shards")
+        if cfg.probe_sample >= 2 and cfg.sample_fallback_frac == 0:
+            # auto cap-sizing needs a host readback the shard_map step
+            # does not do; map_step resolves auto to the fixed default
+            log.info("fast-mode fallback cap: auto (sample_fallback_frac"
+                     "=0) resolves to 0.125 under data-parallel sharding "
+                     "— pass an explicit value to tune (see config.py)")
 
         from ..ops.probe import device_table_layout
 

@@ -475,3 +475,70 @@ def test_two_phase_zero_hit_mate_reprobed_densely(rng):
     (sig0,) = d0.keys()
     assert len(sig0) == 3
     assert d16 == d0
+
+
+def test_fallback_cap_auto_sizing_matches_explicit(rng):
+    """sample_fallback_frac=0 (AUTO, the default) calibrates a cap from
+    the first batch's observed fallback fraction; results must equal an
+    explicit-cap run exactly (the cap only schedules work — round 5)."""
+    from seekmer_tpu.io.fastq import ReadBatch
+    from seekmer_tpu.map.driver import _pick_fallback_frac
+    from seekmer_tpu.utils.simulate import (
+        isoform_transcriptome, simulate_packed_pairs,
+    )
+
+    names, seqs, genes = isoform_transcriptome(rng, num_genes=10)
+    index = build_index_from_seqs(names, seqs, genes=genes)
+    c1, c2, _ = simulate_packed_pairs(rng, seqs, 2, 128, read_len=96,
+                                      error_rate=0.01)
+    L = np.full(128, 96, np.int32)
+    w = np.ones(128, np.int32)
+    res = {}
+    for frac in (0.0, 0.5):
+        cfg = MapConfig(batch_size=128, paired_end=True, sig_table_bits=12,
+                        probe_sample=4, sample_fallback_frac=frac)
+        m = Mapper(index, cfg)
+        for i in range(2):
+            m.feed(ReadBatch(c1[i], L, w, codes2=c2[i], lengths2=L))
+        if frac == 0.0:
+            assert m._auto_frac is not None  # calibration happened
+        res[frac] = m.finalize()
+    assert _sig_dict(res[0.0]) == _sig_dict(res[0.5])
+    assert res[0.0].mapped == res[0.5].mapped
+
+    # the grid picker: just-fitting, with margin; monotone; bounded
+    assert _pick_fallback_frac(0.0, 65536) == 1 / 32
+    assert _pick_fallback_frac(0.082, 65536) == 3 / 32
+    assert _pick_fallback_frac(0.315, 65536) == 0.35
+    assert _pick_fallback_frac(0.99, 65536) == 1.0
+
+
+def test_all_invalid_segment_never_burns_fallback_units():
+    """A segment with NO valid window (pad rows, all-N mates) is excluded
+    from fallback units — dense re-probe of it returns nothing by
+    construction (round 5: every pad row used to burn a cap unit)."""
+    from seekmer_tpu.map.driver import DeviceIndex
+    from seekmer_tpu.map.signature import read_signatures
+    from seekmer_tpu.ops.probe import two_phase_signatures
+
+    rng = np.random.default_rng(31)
+    names, seqs = random_transcriptome(rng, num_transcripts=10)
+    index = build_index_from_seqs(names, seqs)
+    di = DeviceIndex.from_host(index)
+    B, L = 8, 100
+    codes = np.full((B, L), 4, np.uint8)  # every row fully invalid
+    lengths = jnp.full(B, L, jnp.int32)
+    hi, lo, valid = pack_canonical(jnp.asarray(codes), lengths, index.k)
+    staging, unit_need = two_phase_signatures(
+        hi, lo, valid, [(jnp.asarray(codes), lengths)],
+        lambda c, ln: pack_canonical(c, ln, index.k),
+        di.table, di.main_slots, di.stash, di.stash_slots, di.bucket,
+        4, 8, read_signatures, int(SIG_PAD), _stage="classify")
+    assert not np.asarray(unit_need).any()
+    # and the full path still maps them as unmapped, not a crash
+    sig, mapped = two_phase_signatures(
+        hi, lo, valid, [(jnp.asarray(codes), lengths)],
+        lambda c, ln: pack_canonical(c, ln, index.k),
+        di.table, di.main_slots, di.stash, di.stash_slots, di.bucket,
+        4, 8, read_signatures, int(SIG_PAD))
+    assert not np.asarray(mapped).any()
