@@ -68,7 +68,45 @@ def main():
     T = index.num_transcripts
     em_cfg = EMConfig(max_iters=args.em_iters, accel="squarem")
 
+    cache_dir = os.environ.get("SEEKMER_BENCH_CACHE",
+                               "/tmp/seekmer_bench_cache")
+
+    def membership_groups(members):
+        """Group id per transcript by identical EC membership (transcripts
+        in one group are EM-degenerate: any within-group mass split is a
+        fixed point, so per-transcript comparisons inside a group measure
+        degeneracy noise, not abundance error). Position-mixed 64-bit
+        fingerprint of each transcript's sorted EC list (collision odds
+        ~G^2/2^64 — a diagnostic, like the index builder's grouping)."""
+        ec_ids = np.concatenate([np.full(len(m), i, np.int64)
+                                 for i, m in enumerate(members)])
+        txp = np.concatenate(members).astype(np.int64)
+        order = np.lexsort((ec_ids, txp))
+        txp_s = txp[order]
+        ec_s = ec_ids[order].astype(np.uint64)
+        # rank of each entry within its transcript's sorted EC list
+        counts = np.bincount(txp_s, minlength=T)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = (np.arange(txp_s.size, dtype=np.int64)
+                - first[txp_s]).astype(np.uint64)
+        mixed = ((ec_s + np.uint64(1))
+                 * (rank * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)))
+        h = np.zeros(T, np.uint64)
+        np.add.at(h, txp_s, mixed)
+        hx = np.zeros(T, np.uint64)
+        np.bitwise_xor.at(hx, txp_s, mixed * np.uint64(2654435761))
+        key = (h << np.uint64(1)) ^ hx
+        # transcripts in no EC at all share key 0 — one group, fine
+        _, gid = np.unique(key, return_inverse=True)
+        return gid
+
     def arm(sample):
+        tag = os.path.join(cache_dir,
+                           f"fastacc_{T}_{n_pairs}_{sample}.npz")
+        if os.path.exists(tag):
+            z = np.load(tag, allow_pickle=True)
+            log(f"[fast-acc] sample={sample}: cached arm ({tag})")
+            return {k: z[k] for k in z.files}
         cfg = MapConfig(batch_size=B, paired_end=True, probe_sample=sample,
                         sig_table_bits=22)
         m = Mapper(index, cfg)
@@ -84,8 +122,17 @@ def main():
         log(f"[fast-acc] sample={sample}: mapped {res.mapped}/{n_pairs} "
             f"({res.mapped / n_pairs:.4%}), {len(members)} ECs, "
             f"EM iters {int(iters)}, map wall {t_map:.1f}s")
-        return {"mapped": res.mapped, "est": np.asarray(alpha),
-                "tpm": tpm, "sample": sample}
+        out = {"mapped": np.int64(res.mapped), "est": np.asarray(alpha),
+               "tpm": tpm, "sample": np.int64(sample),
+               "groups": membership_groups(members)}
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(tag, **out)
+        return out
+
+    def agg(x, gid, n):
+        out = np.zeros(n, x.dtype)
+        np.add.at(out, gid, x)
+        return out
 
     dense = arm(0)
     rows = []
@@ -98,6 +145,16 @@ def main():
         expr = dense["tpm"] > 1.0
         rel = (np.abs(f["tpm"][expr] - dense["tpm"][expr])
                / dense["tpm"][expr])
+        # aggregate over the DENSE table's EM-degeneracy groups: fast mode
+        # perturbs EC memberships, so within-group splits diverge
+        # arbitrarily — raw per-transcript p99 above measures that
+        # degeneracy noise, the group-level numbers the real error
+        gid = dense["groups"]
+        G = int(gid.max()) + 1
+        g_dense = agg(dense["tpm"], gid, G)
+        g_fast = agg(f["tpm"], gid, G)
+        g_expr = g_dense > 1.0
+        g_rel = np.abs(g_fast[g_expr] - g_dense[g_expr]) / g_dense[g_expr]
         row = {
             "sample": s,
             "mapped_delta": int(d_mapped),
@@ -110,6 +167,12 @@ def main():
             "tpm_rel_err_p99_expressed": round(
                 float(np.percentile(rel, 99)), 6),
             "expressed_transcripts": int(expr.sum()),
+            "degeneracy_groups": G,
+            "group_tpm_rel_err_median": round(float(np.median(g_rel)), 6),
+            "group_tpm_rel_err_p99": round(
+                float(np.percentile(g_rel, 99)), 6),
+            "group_tpm_max_abs": round(
+                float(np.abs(g_fast - g_dense).max()), 3),
         }
         rows.append(row)
         log(f"[fast-acc] sample={s} vs dense: {row}")

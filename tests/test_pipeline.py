@@ -146,26 +146,29 @@ def test_quantifier_fast_mode_abundances_match_dense(world):
     quantification from fast-mode mapping must agree with dense-mode
     quantification at the abundance level — total mass, mapped counts
     (within the documented complex-read nuance), and per-transcript
-    est_counts within a small L1 budget (transcript-level deltas beyond
-    that are EM-degenerate reshuffling; see the gene-level verification
-    in docs/PERFORMANCE.md 'Two-phase')."""
+    est_counts within the DOCUMENTED L1 budget (docs/PERFORMANCE.md
+    "Fast-mode abundance error": measured GENCODE-scale total-L1 0.9% at
+    stride 8, 1.9% at stride 16 — this guard pins the same 2% bound the
+    docs promise for strides <= 16)."""
     names, seqs, index, sim = world
     em_cfg = EMConfig(rel_tol=1e-6, max_iters=2000)
     res = {}
-    for sample in (0, 4):
+    for sample in (0, 4, 16):
         cfg = PipelineConfig().replace(
             map=MapConfig(batch_size=256, sig_table_bits=14,
                           probe_sample=sample),
             em=em_cfg)
         res[sample] = Quantifier(index, cfg).quantify_reads(sim.reads1)
-    d, f = res[0], res[4]
-    assert f.total_reads == d.total_reads
-    assert abs(f.mapped - d.mapped) <= max(2, d.total_reads // 1000)
-    np.testing.assert_allclose(f.est_counts.sum(), d.est_counts.sum(),
-                               rtol=2e-3)
-    l1 = np.abs(f.est_counts - d.est_counts).sum() / d.est_counts.sum()
-    assert l1 < 0.02, l1
-    corr = np.corrcoef(
-        f.est_counts,
-        np.bincount(sim.true_transcript, minlength=len(names)))[0, 1]
-    assert corr > 0.95, corr
+    d = res[0]
+    for sample in (4, 16):
+        f = res[sample]
+        assert f.total_reads == d.total_reads
+        assert abs(f.mapped - d.mapped) <= max(2, d.total_reads // 1000)
+        np.testing.assert_allclose(f.est_counts.sum(), d.est_counts.sum(),
+                                   rtol=2e-3)
+        l1 = np.abs(f.est_counts - d.est_counts).sum() / d.est_counts.sum()
+        assert l1 < 0.02, (sample, l1)
+        corr = np.corrcoef(
+            f.est_counts,
+            np.bincount(sim.true_transcript, minlength=len(names)))[0, 1]
+        assert corr > 0.95, (sample, corr)
