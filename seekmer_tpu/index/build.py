@@ -84,6 +84,11 @@ def collect_kmer_pairs(
     return keys[pos], tids, lengths
 
 
+# Pair counts below this sort via numpy (the C radix core's win is a
+# large-scale one; tests force it to 0 to exercise byte-parity).
+_NATIVE_SORT_MIN = 1 << 20
+
+
 def group_equivalence_classes(
     keys: np.ndarray, tids: np.ndarray, return_key_rank: bool = False
 ):
@@ -104,18 +109,33 @@ def group_equivalence_classes(
     # order (tids nondecreasing), so ONE stable sort by key already yields
     # (key, tid) order — the lexsort's tid pass is redundant work at 62M
     # pairs. Fall back to the full lexsort for arbitrary input.
-    if tids.size == 0 or (np.diff(tids) >= 0).all():
-        order = np.argsort(keys, kind="stable")
-    else:
-        order = np.lexsort((tids, keys))
-    keys, tids = keys[order], tids[order]
+    stream_order = tids.size == 0 or bool((np.diff(tids) >= 0).all())
     key_rank = None
-    if return_key_rank:
-        new_key_all = np.ones(n_pairs, dtype=bool)
-        new_key_all[1:] = keys[1:] != keys[:-1]
-        krank_sorted = np.cumsum(new_key_all, dtype=np.int64) - 1
-        key_rank = np.empty(n_pairs, np.int64)
-        key_rank[order] = krank_sorted
+    sorted_native = None
+    if stream_order and n_pairs >= _NATIVE_SORT_MIN:
+        # hot loop #1 (SURVEY.md 3.1): the threaded C radix core sorts
+        # byte-identically to the stable argsort + gathers (+ rank
+        # scatter) and measured 7.1 s vs numpy's 37.8 s at GENCODE's
+        # 62M pairs on this host (docs/PERFORMANCE.md "GENCODE index
+        # build"). Falls through to numpy when the library is missing.
+        from ..native.packer import sort_pairs_native
+
+        sorted_native = sort_pairs_native(keys, tids,
+                                          want_rank=return_key_rank)
+    if sorted_native is not None:
+        keys, tids, key_rank = sorted_native
+    else:
+        if stream_order:
+            order = np.argsort(keys, kind="stable")
+        else:
+            order = np.lexsort((tids, keys))
+        keys, tids = keys[order], tids[order]
+        if return_key_rank:
+            new_key_all = np.ones(n_pairs, dtype=bool)
+            new_key_all[1:] = keys[1:] != keys[:-1]
+            krank_sorted = np.cumsum(new_key_all, dtype=np.int64) - 1
+            key_rank = np.empty(n_pairs, np.int64)
+            key_rank[order] = krank_sorted
     keep = np.ones(keys.size, dtype=bool)
     keep[1:] = (keys[1:] != keys[:-1]) | (tids[1:] != tids[:-1])
     keys, tids = keys[keep], tids[keep]

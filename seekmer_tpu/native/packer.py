@@ -32,7 +32,8 @@ def _build() -> Optional[str]:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-lz", "-o", _SO],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-lz",
+                 "-o", _SO],
                 check=True, capture_output=True, timeout=60,
             )
             return _SO
@@ -98,6 +99,11 @@ def get_lib():
     lib.seekmer_pack2bit.restype = None
     lib.seekmer_pack2bit.argtypes = [
         u8p, ctypes.c_long, ctypes.c_long, u8p, u8p]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.seekmer_sort_pairs.restype = ctypes.c_long
+    lib.seekmer_sort_pairs.argtypes = [
+        u64p, i32p, ctypes.c_long, u64p, i32p, i64p, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -154,6 +160,40 @@ def _u8p(a):
 
 def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def sort_pairs_native(keys: np.ndarray, tids: np.ndarray,
+                      want_rank: bool = False, nthreads: int = 0):
+    """Stable sort of (key, tid) pairs by key via the threaded C radix
+    core — the index builder's hot loop #1 (SURVEY.md 3.1). Returns
+    (sorted_keys, sorted_tids, key_rank_or_None) — byte-identical to
+    np.argsort(keys, kind='stable') + gathers (+ the rank scatter) —
+    or None when the library is unavailable or allocation fails."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    tids = np.ascontiguousarray(tids, np.int32)
+    n = keys.size
+    if nthreads <= 0:
+        # core count: an isolated 62M-pair micro favored 2x
+        # oversubscription (7.1 s vs 11.4 s — the scatter is
+        # latency-bound), but inside the full index build — where numpy
+        # passes compete for the same cores — the alternating A/B read
+        # nt=2 91.5 s vs nt=4 96.1 s total build, so core count wins
+        nthreads = min(os.cpu_count() or 1, 8)
+    keys_out = np.empty(n, np.uint64)
+    tids_out = np.empty(n, np.int32)
+    rank = np.empty(n, np.int64) if want_rank else None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    got = lib.seekmer_sort_pairs(
+        keys.ctypes.data_as(u64p), _i32p(tids), n,
+        keys_out.ctypes.data_as(u64p), _i32p(tids_out),
+        rank.ctypes.data_as(i64p) if want_rank else None, nthreads)
+    if got < 0:
+        return None
+    return keys_out, tids_out, rank
 
 
 def pack_codes_2bit_native(codes: np.ndarray):

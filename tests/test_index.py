@@ -158,3 +158,30 @@ def test_run_length_rank_path_matches_searchsorted(rng):
     t_with = ib.build_tables(uk, key_ec, cfg.k, cfg, aux=d_fast)
     assert (t_with["table"][:, 0] != -1).sum() + \
            (t_with["stash"][:, 0] != -1).sum() == uk.size
+
+
+def test_native_sort_index_byte_parity(monkeypatch):
+    """The C radix-sort core (round 5, hot loop #1) must produce a
+    byte-identical index to the numpy sort path — every array compared."""
+    from seekmer_tpu.index import build as build_mod
+    from seekmer_tpu.native.packer import get_lib
+    from seekmer_tpu.utils.simulate import random_transcriptome
+
+    if get_lib() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(9)
+    names, seqs = random_transcriptome(rng, num_transcripts=40,
+                                       min_len=200, max_len=900,
+                                       shared_prefix_frac=0.6)
+
+    monkeypatch.setattr(build_mod, "_NATIVE_SORT_MIN", 1 << 62)
+    idx_np = build_mod.build_index_from_seqs(names, seqs)
+    monkeypatch.setattr(build_mod, "_NATIVE_SORT_MIN", 0)
+    idx_c = build_mod.build_index_from_seqs(names, seqs)
+
+    for attr in ("table", "stash", "ec_offsets", "ec_transcripts",
+                 "lengths", "fld_tid", "fld_pos"):
+        a, b = getattr(idx_np, attr, None), getattr(idx_c, attr, None)
+        if a is None and b is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=attr)
