@@ -229,11 +229,6 @@ class Quantifier:
             from ..parallel.mesh import make_mesh
             from ..parallel.prefix_shard import PrefixShardedMapper
 
-            if self.cfg.map.probe_sample >= 2:
-                log.warning(
-                    "--probe-sample is not supported by the prefix-sharded "
-                    "mapper (its lookups route through all_to_all, not the "
-                    "single-table probe); running dense/exact")
             self._mesh = make_mesh(shard)
             return PrefixShardedMapper(self.index, self.cfg.map, shard,
                                        mesh=self._mesh)

@@ -261,6 +261,7 @@ def two_phase_signatures(
     sig_pad, chunks: int = 1, bucket_lookup=None,
     fallback_frac: float = 1.0 / 8, seg_widths=None,
     fallback_chunks: int = 1, _stage: str = "full",
+    lookup_fn=None, residual_agree=None,
 ):
     """Two-phase early-exit probing — the opt-in fast mode
     (MapConfig.probe_sample; round-4 verdict item 1a). Attacks the one
@@ -315,8 +316,21 @@ def two_phase_signatures(
 
     Returns (sig int32[B, C], mapped bool[B]) — same contract as
     ``sig_fn(dense ecs)``.
+
+    ``lookup_fn(h, l, v, chunks=...)`` overrides the EC lookup for both
+    phases — the prefix-sharded mapper injects its all_to_all routed
+    lookup here (round-5: SAMPLED ROUTING — phase 1 routes ~1/stride of
+    the window lanes, the comms model's dominant term). ``residual_agree``
+    maps the fallback loop's local continue flag to a collectively
+    agreed one (psum over the index axis) so every shard executes the
+    same number of routed rounds; None = single-device semantics.
     """
     B, P = hi.shape
+    if lookup_fn is None:
+        def lookup_fn(h, l, v, chunks=1):
+            return lookup_ecs(h, l, v, table, main_slots, stash,
+                              stash_slots, bucket, chunks=chunks,
+                              bucket_lookup=bucket_lookup)
     s = max(stride, 2)
     if seg_widths is None:
         seg_widths = [P]
@@ -336,9 +350,8 @@ def two_phase_signatures(
         off += Pg
     cols_a = jnp.asarray(cols, jnp.int32)
 
-    ec_s = lookup_ecs(hi[:, cols_a], lo[:, cols_a], valid[:, cols_a],
-                      table, main_slots, stash, stash_slots, bucket,
-                      chunks=chunks, bucket_lookup=bucket_lookup)
+    ec_s = lookup_fn(hi[:, cols_a], lo[:, cols_a], valid[:, cols_a],
+                     chunks=chunks)
     if _stage == "phase1":  # bisect hook (benchmarks/micro_fast.py):
         return ec_s, None   # sampled probe only
     hit = ec_s >= 0
@@ -443,9 +456,7 @@ def two_phase_signatures(
         # capu*window dense re-probe exactly as ``chunks`` bounds phase 1
         # (round-4 advisor finding: unchunked, a GENCODE-paired fallback
         # round's transient approached a half-batch dense probe's)
-        ec_d = lookup_ecs(h, l, v, table, main_slots, stash, stash_slots,
-                          bucket, chunks=fallback_chunks,
-                          bucket_lookup=bucket_lookup)
+        ec_d = lookup_fn(h, l, v, chunks=fallback_chunks)
         sig_d, mapped_d = sig_fn(ec_d, v, C)
         fu = ((sig_d[:, 0] != sig_pad) & ~mapped_d).astype(jnp.int32)
         dstb = jnp.where(units < U, ub, B)  # B out of bounds -> dropped
@@ -457,9 +468,13 @@ def two_phase_signatures(
         (staging, force_unmapped, unit_need))
     if _stage == "fallback1":  # bisect hook: + the first fallback round
         return staging, force_unmapped
+
+    def residual_cond(st):
+        more = st[2].any()
+        return residual_agree(more) if residual_agree is not None else more
+
     staging, force_unmapped, _ = jax.lax.while_loop(
-        lambda st: st[2].any(), unit_round,
-        (staging, force_unmapped, residual))
+        residual_cond, unit_round, (staging, force_unmapped, residual))
     if _stage == "fallback":  # bisect hook: + the residual while_loop
         return staging, force_unmapped
 
