@@ -157,3 +157,20 @@ def test_pack_cache_rejects_sharded_and_unpacked(world, tmp_path):
     with pytest.raises(ValueError, match="no-h2d-pack"):
         Quantifier(index, nope).quantify_files(
             [fq1], [fq2], pack_cache=str(tmp_path / "x.smpack"))
+
+
+def test_cache_with_fast_mode_auto_cap(world, tmp_path):
+    """Cached (2-bit packed) batches through the fast mode: the auto
+    fallback-cap calibration's classify-stage program must handle
+    pad_len batches, and cached fast == fresh fast."""
+    import dataclasses
+
+    index, fq1, fq2 = world
+    cache = str(tmp_path / "fm.smpack")
+    cfg = _pipe_cfg()
+    fast = cfg.replace(map=dataclasses.replace(cfg.map, probe_sample=4))
+    fresh = Quantifier(index, fast).quantify_files([fq1], [fq2])
+    Quantifier(index, fast).quantify_files([fq1], [fq2], pack_cache=cache)
+    cached = Quantifier(index, fast).quantify_files(
+        [fq1], [fq2], pack_cache=cache)
+    assert _result_key(cached) == _result_key(fresh)
